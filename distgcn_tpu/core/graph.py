@@ -1,0 +1,115 @@
+"""Graph containers for TPU execution.
+
+The reference feeds one scipy-sparse graph per `sess.run`
+(`mwis_gdpg_call.py:690-694`). On TPU we instead use **fixed-shape dense
+padded batches**: conflict graphs are small (N ~ 100..1000,
+`wireless_dqn_test.py:160-163` prints avg degree ~ 10-25), so a dense
+[B, N, N] adjacency turns every support application into an MXU matmul and
+makes LGS rounds a masked vector reduction — no gather/scatter, no dynamic
+shapes, one compilation per padding bucket.
+
+`GraphBatch` is a pytree; all fields are arrays:
+    adj  : [B, N, N] float  symmetric 0/1, zero diagonal, zero padding
+    wts  : [B, N]    float  node weights (padding = 0)
+    mask : [B, N]    bool   True for real nodes
+    nn   : [B]       int32  number of real nodes per graph
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+
+def pad_bucket(n: int, bucket: int = 128) -> int:
+    """Round n up to a multiple of `bucket` (MXU/VPU lane alignment)."""
+    return int(max(bucket, -(-n // bucket) * bucket))
+
+
+@jax.tree_util.register_pytree_node_class
+class GraphBatch:
+    """A fixed-shape batch of padded graphs (pytree of arrays)."""
+
+    def __init__(self, adj, wts, mask, nn):
+        self.adj = adj
+        self.wts = wts
+        self.mask = mask
+        self.nn = nn
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.adj, self.wts, self.mask, self.nn), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- shape info ---------------------------------------------------------
+    @property
+    def batch_size(self) -> int:
+        return self.adj.shape[0]
+
+    @property
+    def pad_n(self) -> int:
+        return self.adj.shape[-1]
+
+    def __repr__(self):
+        return f"GraphBatch(B={self.batch_size}, N={self.pad_n})"
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_scipy(cls, adjs: Sequence[Union[sp.spmatrix, np.ndarray]],
+                   wts: Sequence[np.ndarray], pad_to: int = 0,
+                   bucket: int = 128, dtype=np.float32) -> "GraphBatch":
+        """Build a batch from per-graph scipy/np adjacencies + weight vectors."""
+        if not isinstance(adjs, (list, tuple)):
+            adjs = [adjs]
+            wts = [wts]
+        sizes = [a.shape[0] for a in adjs]
+        n = pad_to or pad_bucket(max(sizes), bucket)
+        if n < max(sizes):
+            raise ValueError(f"pad_to={n} < largest graph {max(sizes)}")
+        b = len(adjs)
+        adj = np.zeros((b, n, n), dtype=dtype)
+        w = np.zeros((b, n), dtype=dtype)
+        mask = np.zeros((b, n), dtype=bool)
+        for i, (a, wt) in enumerate(zip(adjs, wts)):
+            ni = a.shape[0]
+            dense = a.toarray() if sp.issparse(a) else np.asarray(a)
+            dense = (dense != 0).astype(dtype)
+            np.fill_diagonal(dense, 0)
+            adj[i, :ni, :ni] = dense
+            w[i, :ni] = np.asarray(wt, dtype=dtype).flatten()[:ni]
+            mask[i, :ni] = True
+        return cls(jnp.asarray(adj), jnp.asarray(w), jnp.asarray(mask),
+                   jnp.asarray(sizes, dtype=jnp.int32))
+
+    @classmethod
+    def single(cls, adj, wts, pad_to: int = 0, bucket: int = 128,
+               dtype=np.float32) -> "GraphBatch":
+        return cls.from_scipy([adj], [wts], pad_to=pad_to, bucket=bucket,
+                              dtype=dtype)
+
+    # -- conversions --------------------------------------------------------
+    def to_scipy(self) -> List[sp.csr_matrix]:
+        adj = np.asarray(self.adj)
+        nn = np.asarray(self.nn)
+        return [sp.csr_matrix(adj[i, : nn[i], : nn[i]])
+                for i in range(self.batch_size)]
+
+
+def block_diag_stack(adjs: Sequence[sp.spmatrix]) -> sp.csr_matrix:
+    """Block-diagonal stack of adjacencies (reference `dstack`,
+    gcn/utils.py:315-322, generalized to k graphs)."""
+    return sp.block_diag([sp.csr_matrix(a) for a in adjs]).tocsr()
+
+
+def edges_from_dense(adj: np.ndarray):
+    """Upper-triangular edge list (i, j) arrays from a dense adjacency."""
+    iu, ju = np.nonzero(np.triu(np.asarray(adj), k=1))
+    return iu, ju

@@ -1,0 +1,133 @@
+"""Device-vectorized Local Greedy Search (LGS) — the distributed MWIS solver.
+
+The reference's `local_greedy_search` (heuristics.py:77-116) runs synchronized
+rounds: with the remaining-node set frozen, node v enters the IS iff it has no
+remaining neighbor, or its weight strictly exceeds every remaining neighbor's,
+with ties won iff v's id is smaller than the smallest id among the
+max-weight-tied neighbors (heuristics.py:106-111). Winners' neighbors are
+removed; repeat.
+
+That rule is exactly: v wins iff the lexicographic key ``(w_v, -v)`` strictly
+exceeds ``max`` over remaining neighbors' keys. Each round is therefore one
+masked neighbor-max — a dense [N, N] select+reduce on the VPU — and the whole
+solver is a `lax.while_loop` over fixed-shape state: perfect for XLA/TPU, and
+batched over graphs for free.
+
+Equivalence note: with this tie-break (stable descending sort == smaller id
+first), the *centralized* greedy `greedy_search` (heuristics.py:13-35)
+produces the same IS as LGS — the heaviest remaining node is always a local
+max, and all round-1 local maxima are taken by greedy before any neighbor
+blocks them; induction on rounds gives set equality. We exploit this:
+`batched_greedy` is an alias of `batched_lgs`, giving an O(rounds) device
+greedy instead of an O(N) sequential scan.
+
+State labels (matching mwis_gdpg_call.py:287 nIS_vec):
+    -1 remaining, 0 excluded (neighbor of a winner), 1 selected.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -jnp.inf
+BIG_ID = jnp.iinfo(jnp.int32).max
+
+
+def _round(adj: jnp.ndarray, wts: jnp.ndarray, sel: jnp.ndarray
+           ) -> jnp.ndarray:
+    """One synchronized LGS round on a batch.
+
+    adj: [B, N, N] 0/1; wts: [B, N]; sel: [B, N] int8 in {-1, 0, 1}.
+    Returns updated sel.
+    """
+    remain = sel == -1                                     # [B, N]
+    # adjacency restricted to remaining columns
+    nbr = (adj > 0) & remain[:, None, :]                   # [B, N, N]
+    nbr_w = jnp.where(nbr, wts[:, None, :], NEG)
+    m = jnp.max(nbr_w, axis=-1)                            # [B, N]
+    has_nbr = jnp.any(nbr, axis=-1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, adj.shape[:2], 1)  # [B, N]
+    tied = nbr & (wts[:, None, :] == m[:, :, None])
+    tied_min = jnp.min(jnp.where(tied, ids[:, None, :], BIG_ID), axis=-1)
+    win = remain & (~has_nbr | (wts > m) | ((wts == m) & (ids < tied_min)))
+    # exclude remaining neighbors of winners
+    excl = remain & ~win & jnp.any((adj > 0) & win[:, None, :], axis=-1)
+    sel = jnp.where(win, jnp.int8(1), sel)
+    sel = jnp.where(excl, jnp.int8(0), sel)
+    return sel
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
+                max_rounds: Optional[int] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run LGS to completion on a batch of padded graphs.
+
+    Args:
+      adj:  [B, N, N] dense 0/1 adjacency (zero diagonal/padding).
+      wts:  [B, N] node weights (can be negative; padding ignored via mask).
+      mask: [B, N] bool, True for real nodes.
+      max_rounds: optional static round cap (`local_greedy_search_nstep`
+        semantics, heuristics.py:266-305). None = run until no node remains.
+
+    Returns:
+      sel    [B, N] int8 in {-1, 0, 1} (padding nodes -> 0)
+      util   [B] total selected weight
+      rounds [] int32 rounds executed (max over batch)
+    """
+    b, n = wts.shape
+    sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+    cap = n if max_rounds is None else int(max_rounds)
+
+    def cond(state):
+        sel, r = state
+        return (r < cap) & jnp.any(sel == -1)
+
+    def body(state):
+        sel, r = state
+        return _round(adj, wts, sel), r + 1
+
+    sel, rounds = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+    util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+    return sel, util, rounds
+
+
+# Centralized greedy == LGS under the (w, -id) tie-break; see module docstring.
+batched_greedy = batched_lgs
+
+
+@jax.jit
+def lgs_round_counts(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                jnp.ndarray, jnp.ndarray]:
+    """LGS with the reference's communication-cost counters
+    (heuristics.py:163-209): per-graph rounds, point-to-point messages
+    (remaining-degree sum per round), and broadcasts (|remain| per round plus
+    one mute signal per selected node).
+    """
+    b, n = wts.shape
+    sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+
+    def cond(state):
+        sel, r, p2p, bst = state
+        return (r < n) & jnp.any(sel == -1)
+
+    def body(state):
+        sel, r, p2p, bst = state
+        remain = sel == -1
+        deg = jnp.sum((adj > 0) & remain[:, None, :] & remain[:, :, None],
+                      axis=(-1,))
+        p2p = p2p + jnp.sum(deg * remain, axis=-1).astype(jnp.int32)
+        bst = bst + jnp.sum(remain, axis=-1).astype(jnp.int32)
+        return _round(adj, wts, sel), r + 1, p2p, bst
+
+    z = jnp.zeros((b,), jnp.int32)
+    sel, rounds, p2p, bst = jax.lax.while_loop(
+        cond, body, (sel0, jnp.int32(0), z, z))
+    bst = bst + jnp.sum(sel == 1, axis=-1).astype(jnp.int32)
+    util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+    return sel, util, rounds, p2p, bst
