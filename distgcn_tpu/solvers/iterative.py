@@ -1,0 +1,283 @@
+"""Device-side iterative GCN-in-the-loop MWIS solvers.
+
+Re-designs the reference's host re-slicing loops as **fixed-shape masked
+loops** fully on device — the graph never changes shape; removed nodes are
+masked out and the support polynomials are recomputed from the masked
+adjacency (identical numerics to re-slicing, since masked rows/cols are zero
+and symmetric normalization is per-row):
+
+- DIT  (`solve_mwis_dit`, mwis_gdpg_call.py:278-318): GCN re-scored each
+  LGS round; 1-step LGS commits winners; repeat.
+- CGS  (`solve_mwis_cit`/`_wrap`, mwis_gdpg_call.py:320-384): GCN re-scored,
+  single argmax node committed per step. The reference wrapper iterates
+  connected components; a global argmax loop commits the same node set
+  (components don't interact through argmax-then-exclude), so we run one
+  global device loop.
+- Rollout (`solve_mwis_rollout`/`_wrap`, mwis_gdpg_call.py:386-659): top-b
+  children by GCN-weight; each child scored w_child + greedy(remainder
+  without child+nbrs) — greedy == LGS under the (w, -id) tie-break, vmapped
+  over branches; best child committed. Deviation from the reference wrapper:
+  we run globally rather than per connected component (the b-branch pool is
+  global), and break score ties by lowest index instead of uniform choice
+  (the reference's tie choice is nondeterministic anyway,
+  mwis_gdpg_call.py:648).
+
+All loops preserve the reference's termination rule (stop when no node
+remains or remaining weight sum <= 0, mwis_gdpg_call.py:298-299) and its
+utility bookkeeping ``util = dot(nIS_vec, w)`` with nIS_vec in {-1, 0, 1}
+(mwis_gdpg_call.py:313).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from distgcn_tpu.agents import build_state_arrays
+from distgcn_tpu.core.graph import GraphBatch
+from distgcn_tpu.ops.lgs import _round
+
+NEG = -jnp.inf
+
+
+def _masked_forward(model, params, adj, wts, sel, mask, flags, feature_mode):
+    """GCN forward on the remaining-node subgraph (masked, fixed shape)."""
+    remain = (sel == -1) & mask
+    rm = remain.astype(adj.dtype)
+    adj_m = adj * rm[:, :, None] * rm[:, None, :]
+    features, supports = build_state_arrays(
+        adj_m, wts * rm, remain, flags.feature_size, flags.max_degree,
+        flags.predict, feature_mode)
+    out = model.apply({"params": params}, features, supports)
+    return out[..., 0] * rm, remain
+
+
+def _make_dit(model, flags, feature_mode):
+    @jax.jit
+    def run(params, adj, wts, mask):
+        b, n = wts.shape
+        sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+
+        def cond(state):
+            sel, it = state
+            remain = (sel == -1) & mask
+            live = jnp.any(remain) & (
+                jnp.sum(jnp.where(remain, wts, 0.0)) > 0)
+            return live & (it < n)
+
+        def body(state):
+            sel, it = state
+            act, remain = _masked_forward(model, params, adj, wts, sel,
+                                          mask, flags, feature_mode)
+            gcn_wts = act * wts if flags.predict == "mwis" else act
+            sel = _round(adj, gcn_wts, sel)
+            return sel, it + 1
+
+        sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+        util = jnp.sum(sel.astype(wts.dtype) * wts, axis=-1)
+        return sel, util
+
+    return run
+
+
+def _make_cgs(model, flags, feature_mode):
+    @jax.jit
+    def run(params, adj, wts, mask):
+        b, n = wts.shape
+        sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+
+        def cond(state):
+            sel, it = state
+            remain = (sel == -1) & mask
+            return jnp.any(remain) & (
+                jnp.sum(jnp.where(remain, wts, 0.0)) > 0) & (it < n)
+
+        def body(state):
+            sel, it = state
+            act, remain = _masked_forward(model, params, adj, wts, sel,
+                                          mask, flags, feature_mode)
+            gcn_wts = act * wts if flags.predict == "mwis" else act
+            scores = jnp.where(remain, gcn_wts, NEG)
+            pick = jnp.argmax(scores, axis=-1)                     # [B]
+            onehot = jax.nn.one_hot(pick, n, dtype=jnp.bool_)
+            # guard: only commit in rows that still have remaining nodes
+            rowlive = jnp.any(remain, axis=-1, keepdims=True)
+            win = onehot & rowlive
+            excl = remain & ~win & jnp.any(
+                (adj > 0) & win[:, None, :], axis=-1)
+            sel = jnp.where(win, jnp.int8(1), sel)
+            sel = jnp.where(excl, jnp.int8(0), sel)
+            return sel, it + 1
+
+        sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+        util = jnp.sum(sel.astype(wts.dtype) * wts, axis=-1)
+        return sel, util
+
+    return run
+
+
+def _make_rollout(model, flags, feature_mode, b_branches: int):
+    def greedy_eval(adj, wts, remain):
+        """LGS (== stable-tie-break greedy) restricted to `remain`; returns
+        total original-weight utility of the evaluation solution."""
+        sel = jnp.where(remain, jnp.int8(-1), jnp.int8(0))
+
+        def cond(state):
+            s, it = state
+            return jnp.any(s == -1) & (it < wts.shape[-1])
+
+        def body(state):
+            s, it = state
+            return _round(adj, jnp.where(remain, wts, 0.0), s), it + 1
+
+        sel, _ = jax.lax.while_loop(cond, body, (sel, jnp.int32(0)))
+        return jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+
+    @jax.jit
+    def run(params, adj, wts, mask):
+        b, n = wts.shape
+        sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+
+        def cond(state):
+            sel, it = state
+            remain = (sel == -1) & mask
+            return jnp.any(remain) & (
+                jnp.sum(jnp.where(remain, wts, 0.0)) > 0) & (it < n)
+
+        def body(state):
+            sel, it = state
+            act, remain = _masked_forward(model, params, adj, wts, sel,
+                                          mask, flags, feature_mode)
+            gcn_wts = act * wts if flags.predict == "mwis" else act
+            scores = jnp.where(remain, gcn_wts, NEG)
+            # top-b children per graph (mwis_gdpg_call.py:624-626)
+            _, children = jax.lax.top_k(scores, b_branches)        # [B, b]
+            child_valid = jnp.take_along_axis(remain, children, axis=-1)
+            child_w = jnp.take_along_axis(wts, children, axis=-1)
+
+            def branch_score(child, valid):
+                # remainder without child + its neighbors
+                ch = jax.nn.one_hot(child, n, dtype=jnp.bool_)     # [B, n]
+                nbr = jnp.any((adj > 0) & ch[:, None, :], axis=-1)
+                rem_ro = remain & ~ch & ~nbr
+                ev = greedy_eval(adj, wts, rem_ro)
+                return jnp.where(valid, ev, NEG)
+
+            evals = jax.vmap(branch_score, in_axes=(1, 1), out_axes=1)(
+                children, child_valid)                              # [B, b]
+            n_remain = jnp.sum(remain, axis=-1, keepdims=True)
+            # reference: rollout evaluation only when >1 candidate branches
+            # (mwis_gdpg_call.py:628); with 1 remaining node score = w alone
+            total = jnp.where(n_remain > 1, child_w + evals,
+                              jnp.where(child_valid, child_w, NEG))
+            i_best = jnp.argmax(total, axis=-1)                    # [B]
+            pick = jnp.take_along_axis(children, i_best[:, None],
+                                       axis=-1)[:, 0]
+            win = jax.nn.one_hot(pick, n, dtype=jnp.bool_) & \
+                jnp.any(remain, axis=-1, keepdims=True)
+            excl = remain & ~win & jnp.any(
+                (adj > 0) & win[:, None, :], axis=-1)
+            sel = jnp.where(win, jnp.int8(1), sel)
+            sel = jnp.where(excl, jnp.int8(0), sel)
+            return sel, it + 1
+
+        sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+        util = jnp.sum(sel.astype(wts.dtype) * wts, axis=-1)
+        return sel, util
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Host entry points used by agents.MWISSolver
+# ---------------------------------------------------------------------------
+
+def _get_cached(agent, kind: str, factory):
+    cache = getattr(agent, "_iter_cache", None)
+    if cache is None:
+        cache = {}
+        agent._iter_cache = cache
+    if kind not in cache:
+        cache[kind] = factory()
+    return cache[kind]
+
+
+def _run(agent, adj_0, wts_0, kind: str, factory):
+    wts = np.asarray(wts_0, dtype=np.float64).flatten()
+    gb = agent._to_batch(adj_0, wts)
+    fn = _get_cached(agent, kind, factory)
+    sel, util = fn(agent.params, gb.adj, gb.wts, gb.mask)
+    n = wts.size
+    sel = np.asarray(sel[0, :n])
+    mwis = set(np.nonzero(sel == 1)[0].tolist())
+    return mwis, float(util[0])
+
+
+def solve_dit(agent, adj_0, wts_0) -> Tuple[set, float]:
+    return _run(agent, adj_0, wts_0, "dit",
+                lambda: _make_dit(agent.model, agent.flags,
+                                  agent.feature_mode))
+
+
+def solve_cgs(agent, adj_0, wts_0) -> Tuple[set, float]:
+    return _run(agent, adj_0, wts_0, "cgs",
+                lambda: _make_cgs(agent.model, agent.flags,
+                                  agent.feature_mode))
+
+
+def solve_rollout(agent, adj_0, wts_0, b: int = 16) -> Tuple[set, float]:
+    return _run(agent, adj_0, wts_0, f"rollout{b}",
+                lambda: _make_rollout(agent.model, agent.flags,
+                                      agent.feature_mode, b))
+
+
+def solve_cgs_episodic(agent, adj_0, wts_0, train: bool = False,
+                       grd: float = 1.0) -> Tuple[set, float]:
+    """Training variant of CGS with per-step memorization + backtracked
+    discounted rewards (mwis_gdpg_call.py:778-839). Host loop (it must
+    memorize per-step states), device forward per step."""
+    import scipy.sparse as sp
+    from collections import deque
+
+    adj = sp.csr_matrix(adj_0)
+    wts = np.asarray(wts_0, dtype=np.float64).flatten()
+    n = wts.size
+    sel = -np.ones(n)
+    buffers = deque(maxlen=500)
+    while (sel == -1).any():
+        remain = sel == -1
+        if wts[remain].sum() <= 0:
+            break
+        ridx = np.nonzero(remain)[0]
+        sub = adj[ridx][:, ridx]
+        state = agent.makestate(sub, wts[ridx].reshape(-1, 1))
+        act_vals, _ = agent.act(state, train)
+        gcn_wts = agent._gcn_weights(act_vals, wts[ridx])
+        pick = int(np.argmax(gcn_wts))
+        v = ridx[pick]
+        sel[v] = 1
+        nbrs = adj.indices[adj.indptr[v]: adj.indptr[v + 1]]
+        nbrs = nbrs[sel[nbrs] == -1]
+        sel[nbrs] = 0
+        if train:
+            buffers.append((state, act_vals.copy(), pick))
+    util = float(np.dot(sel, wts))
+    mwis = set(np.nonzero(sel == 1)[0].tolist())
+    if train:
+        reward = util / grd
+        next_state = {}
+        agent.reward_mem.append(reward)
+        for i in reversed(range(len(buffers))):
+            if i == len(buffers) - 1:
+                reward = util / grd
+            else:
+                reward = reward * agent.gamma
+            state, act_vals, action = buffers[i]
+            agent.memorize(state, act_vals, [action], next_state, reward)
+            next_state = state
+    return mwis, util
