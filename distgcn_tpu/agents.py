@@ -267,6 +267,31 @@ class MWISSolver:
             if mwis else 0.0
         return mwis, total_wt
 
+    # ------------------------------------------------- resident fast path
+    def prepare(self, adj) -> dict:
+        """Pin a conflict graph on device for repeated scheduling with
+        changing weights (the wireless per-timeslot workload: graph static,
+        utilities change every slot). Returns an opaque handle."""
+        from distgcn_tpu.pipeline import make_solve_pipeline
+        n = adj.shape[0]
+        gb = self._to_batch(adj, np.zeros(n))
+        if not hasattr(self, "_resident_pipe"):
+            self._resident_pipe = make_solve_pipeline(
+                self.model, self.flags, self.feature_mode)
+        return {"gb": gb, "n": n}
+
+    def solve_mwis_resident(self, handle: dict, wts) -> Tuple[set, float]:
+        """GCN+LGS on a prepared graph: streams only the weight vector."""
+        gb: GraphBatch = handle["gb"]
+        n = handle["n"]
+        w = np.zeros((1, gb.pad_n), dtype=np.float32)
+        w[0, :n] = np.asarray(wts, dtype=np.float32).flatten()
+        sel, util, _ = self._resident_pipe(self.params, gb.adj,
+                                           jnp.asarray(w), gb.mask)
+        sel = np.asarray(sel[0, :n])
+        mwis = set(np.nonzero(sel == 1)[0].tolist())
+        return mwis, float(util[0])
+
     # delegated iterative/rollout solvers (solvers/iterative.py)
     def solve_mwis_dit(self, adj_0, wts_0, train: bool = False,
                        grd: float = 1.0):

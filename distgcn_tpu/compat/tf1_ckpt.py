@@ -62,6 +62,8 @@ def load_tf1_gcn_params(model_dir_or_ckpt: str, scope: str = "gcn_dqn",
         if resolved is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt}")
         ckpt = resolved
+    elif not os.path.isfile(ckpt + ".index") and not os.path.isfile(ckpt):
+        raise FileNotFoundError(f"no checkpoint at {ckpt}")
     r = _reader(ckpt)
     shapes = r.get_variable_to_shape_map()
     full_prefix = (prefix + "/" if prefix else "") + (

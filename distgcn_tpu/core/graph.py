@@ -17,6 +17,7 @@ shapes, one compilation per padding bucket.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Union
 
 import numpy as np
@@ -29,6 +30,22 @@ import jax.numpy as jnp
 def pad_bucket(n: int, bucket: int = 128) -> int:
     """Round n up to a multiple of `bucket` (MXU/VPU lane alignment)."""
     return int(max(bucket, -(-n // bucket) * bucket))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _dense_from_edges(edges: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Densify a padded upper-triangular edge list [B, E, 2] on device.
+
+    Padding rows are (0, 0) — they scatter onto the diagonal, which is
+    zeroed afterwards (conflict graphs have no self-loops).
+    """
+    b, e, _ = edges.shape
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (b, e), 0)
+    adj = jnp.zeros((b, n, n), jnp.float32)
+    adj = adj.at[b_idx, edges[..., 0], edges[..., 1]].set(1.0)
+    adj = jnp.maximum(adj, jnp.swapaxes(adj, -1, -2))
+    diag = jnp.eye(n, dtype=bool)
+    return jnp.where(diag, 0.0, adj)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -66,7 +83,12 @@ class GraphBatch:
     def from_scipy(cls, adjs: Sequence[Union[sp.spmatrix, np.ndarray]],
                    wts: Sequence[np.ndarray], pad_to: int = 0,
                    bucket: int = 128, dtype=np.float32) -> "GraphBatch":
-        """Build a batch from per-graph scipy/np adjacencies + weight vectors."""
+        """Build a batch from per-graph scipy/np adjacencies + weight vectors.
+
+        The adjacency is shipped to the device as a padded **edge list**
+        (nnz*8 bytes instead of N*N*4) and densified on device — host->device
+        bandwidth, not compute, is the limiting factor for cold graphs.
+        """
         if not isinstance(adjs, (list, tuple)):
             adjs = [adjs]
             wts = [wts]
@@ -75,18 +97,30 @@ class GraphBatch:
         if n < max(sizes):
             raise ValueError(f"pad_to={n} < largest graph {max(sizes)}")
         b = len(adjs)
-        adj = np.zeros((b, n, n), dtype=dtype)
         w = np.zeros((b, n), dtype=dtype)
         mask = np.zeros((b, n), dtype=bool)
+        edge_lists = []
         for i, (a, wt) in enumerate(zip(adjs, wts)):
             ni = a.shape[0]
-            dense = a.toarray() if sp.issparse(a) else np.asarray(a)
-            dense = (dense != 0).astype(dtype)
-            np.fill_diagonal(dense, 0)
-            adj[i, :ni, :ni] = dense
+            if sp.issparse(a):
+                coo = a.tocoo()
+                keep = coo.row < coo.col
+                ei, ej = coo.row[keep], coo.col[keep]
+            else:
+                ei, ej = np.nonzero(np.triu(np.asarray(a), k=1))
+            edge_lists.append((ei.astype(np.int32), ej.astype(np.int32)))
             w[i, :ni] = np.asarray(wt, dtype=dtype).flatten()[:ni]
             mask[i, :ni] = True
-        return cls(jnp.asarray(adj), jnp.asarray(w), jnp.asarray(mask),
+        e_max = max((e[0].size for e in edge_lists), default=1) or 1
+        # bucket the edge-count dimension so the densify kernel compiles a
+        # bounded number of shape variants
+        e_max = pad_bucket(e_max, 512)
+        edges = np.zeros((b, e_max, 2), dtype=np.int32)
+        for i, (ei, ej) in enumerate(edge_lists):
+            edges[i, : ei.size, 0] = ei
+            edges[i, : ei.size, 1] = ej
+        adj = _dense_from_edges(jnp.asarray(edges), n)
+        return cls(adj, jnp.asarray(w), jnp.asarray(mask),
                    jnp.asarray(sizes, dtype=jnp.int32))
 
     @classmethod

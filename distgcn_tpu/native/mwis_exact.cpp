@@ -1,0 +1,809 @@
+// Exact MWIS solver: branch & bound with bitset graphs + weighted reductions.
+//
+// Native replacement for the reference's external Gurobi MIP benchmark
+// (heuristics.py:327-355 `mlp_gurobi`): solves max-weight independent set
+// exactly on the conflict graphs used throughout (N ~ 1e2..1e3, sparse).
+//
+// Techniques:
+//  - adjacency as dynamic bitsets (u64 words), candidate sets likewise;
+//  - reductions inside the search: isolated vertices taken greedily via the
+//    branching rule; neighborhood-weight domination (w_v >= sum w(N(v) ∩ P))
+//    takes v outright;
+//  - branching on the max-degree candidate (include N[v]-removal / exclude);
+//  - upper bound: greedy weighted clique cover of the candidate set
+//    (UB = sum over cliques of max weight), computed on the bitset rows;
+//  - time limit with best-found reporting (status 1 = timeout).
+//
+// Also exports fast host-side greedy / local-greedy (LGS) solvers matching
+// the semantics of heuristics.py:13-35 / :77-116 for CPU-bound simulation
+// loops.
+//
+// Build: g++ -O3 -march=native -shared -fPIC mwis_exact.cpp -o libdistgcn_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+struct BitGraph {
+    int n;
+    int words;
+    std::vector<uint64_t> rows;  // n * words
+
+    BitGraph(int n_) : n(n_), words((n_ + 63) / 64), rows((size_t)n_ * ((n_ + 63) / 64), 0) {}
+    inline uint64_t* row(int v) { return rows.data() + (size_t)v * words; }
+    inline const uint64_t* row(int v) const { return rows.data() + (size_t)v * words; }
+    inline void add_edge(int u, int v) {
+        row(u)[v >> 6] |= (1ULL << (v & 63));
+        row(v)[u >> 6] |= (1ULL << (u & 63));
+    }
+};
+
+inline int popcount_and(const uint64_t* a, const uint64_t* b, int words) {
+    int c = 0;
+    for (int i = 0; i < words; ++i) c += __builtin_popcountll(a[i] & b[i]);
+    return c;
+}
+
+
+
+// ---------------------------------------------------------------------------
+// Dinic max-flow (double capacities) for the Nemhauser-Trotter LP reduction.
+struct Dinic {
+    struct Edge { int to; double cap; int rev; };
+    std::vector<std::vector<Edge>> adj;
+    std::vector<int> level, iter;
+    int n;
+    explicit Dinic(int n_) : adj(n_), level(n_), iter(n_), n(n_) {}
+    void add_edge(int a, int b, double cap) {
+        adj[a].push_back({b, cap, (int)adj[b].size()});
+        adj[b].push_back({a, 0.0, (int)adj[a].size() - 1});
+    }
+    bool bfs(int s, int t) {
+        std::fill(level.begin(), level.end(), -1);
+        std::vector<int> q{s};
+        level[s] = 0;
+        for (size_t qi = 0; qi < q.size(); ++qi) {
+            int v = q[qi];
+            for (auto& e : adj[v])
+                if (e.cap > 1e-12 && level[e.to] < 0) {
+                    level[e.to] = level[v] + 1;
+                    q.push_back(e.to);
+                }
+        }
+        return level[t] >= 0;
+    }
+    double dfs(int v, int t, double f) {
+        if (v == t) return f;
+        for (int& i = iter[v]; i < (int)adj[v].size(); ++i) {
+            Edge& e = adj[v][i];
+            if (e.cap > 1e-12 && level[v] < level[e.to]) {
+                double d = dfs(e.to, t, std::min(f, e.cap));
+                if (d > 1e-12) {
+                    e.cap -= d;
+                    adj[e.to][e.rev].cap += d;
+                    return d;
+                }
+            }
+        }
+        return 0.0;
+    }
+    double max_flow(int s, int t) {
+        double flow = 0.0;
+        while (bfs(s, t)) {
+            std::fill(iter.begin(), iter.end(), 0);
+            double f;
+            while ((f = dfs(s, t, 1e300)) > 1e-12) flow += f;
+        }
+        return flow;
+    }
+    // residual reachability from s
+    std::vector<char> reachable(int s) {
+        std::vector<char> vis(n, 0);
+        std::vector<int> q{s};
+        vis[s] = 1;
+        for (size_t qi = 0; qi < q.size(); ++qi)
+            for (auto& e : adj[q[qi]])
+                if (e.cap > 1e-12 && !vis[e.to]) {
+                    vis[e.to] = 1;
+                    q.push_back(e.to);
+                }
+        return vis;
+    }
+};
+
+// Exact MWIS with:
+//  - reduction loop: isolated-positive take; neighborhood-weight domination;
+//  - connected-component decomposition at every subproblem;
+//  - matching bound: UB = sum(w+) - sum over greedy maximal matching of
+//    min(w_u, w_v) (any IS loses at least min(w) per matched edge);
+//  - greedy incumbent per component, max-degree branching.
+struct Solver {
+    const BitGraph& g;
+    const double* w;
+    int words;
+    Clock::time_point deadline;
+    bool timed_out;
+    long long nodes_visited;
+
+    Solver(const BitGraph& g_, const double* w_, double limit_sec)
+        : g(g_), w(w_), words(g_.words), timed_out(false), nodes_visited(0) {
+        deadline = Clock::now() + std::chrono::duration_cast<Clock::duration>(
+            std::chrono::duration<double>(limit_sec));
+    }
+
+    inline bool in(const uint64_t* P, int v) const {
+        return P[v >> 6] & (1ULL << (v & 63));
+    }
+    inline void clearbit(uint64_t* P, int v) const {
+        P[v >> 6] &= ~(1ULL << (v & 63));
+    }
+
+    template <class F>
+    inline void for_each(const uint64_t* P, F f) const {
+        for (int wi = 0; wi < words; ++wi) {
+            uint64_t word = P[wi];
+            while (word) {
+                int b = __builtin_ctzll(word);
+                word &= word - 1;
+                f(wi * 64 + b);
+            }
+        }
+    }
+
+    double nbr_sum_pos(const uint64_t* P, int v) const {
+        double s = 0.0;
+        const uint64_t* rv = g.row(v);
+        for (int wi = 0; wi < words; ++wi) {
+            uint64_t word = rv[wi] & P[wi];
+            while (word) {
+                int b = __builtin_ctzll(word);
+                word &= word - 1;
+                double x = w[wi * 64 + b];
+                if (x > 0) s += x;
+            }
+        }
+        return s;
+    }
+
+    // UB = sum(w+) - matching loss (greedy maximal matching).
+    double bound(const uint64_t* P) const {
+        double sum_pos = 0.0;
+        for_each(P, [&](int v) { if (w[v] > 0) sum_pos += w[v]; });
+        std::vector<uint64_t> unmatched(P, P + words);
+        double loss = 0.0;
+        for (int wi = 0; wi < words; ++wi) {
+            uint64_t word = unmatched[wi];
+            while (word) {
+                int b = __builtin_ctzll(word);
+                word &= word - 1;
+                int v = wi * 64 + b;
+                if (!(unmatched[v >> 6] & (1ULL << (v & 63)))) continue;
+                const uint64_t* rv = g.row(v);
+                int u = -1;
+                for (int wj = 0; wj < words && u < 0; ++wj) {
+                    uint64_t cand = rv[wj] & unmatched[wj];
+                    if (wj == (v >> 6)) cand &= ~(1ULL << (v & 63));
+                    if (cand) u = wj * 64 + __builtin_ctzll(cand);
+                }
+                if (u >= 0) {
+                    double lo = std::min(std::max(w[v], 0.0), std::max(w[u], 0.0));
+                    loss += lo;
+                    unmatched[v >> 6] &= ~(1ULL << (v & 63));
+                    unmatched[u >> 6] &= ~(1ULL << (u & 63));
+                    word = unmatched[wi];  // refresh current word
+                }
+            }
+        }
+        return sum_pos - loss;
+    }
+
+    // greedy (stable (w,-id) order) on P; returns value, fills sel
+    double greedy_in(const uint64_t* P, std::vector<int>& sel) const {
+        std::vector<int> cand;
+        for_each(P, [&](int v) { cand.push_back(v); });
+        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
+            return w[a] > w[b] || (w[a] == w[b] && a < b);
+        });
+        std::vector<uint64_t> blocked(words, 0);
+        double val = 0.0;
+        for (int v : cand) {
+            if (w[v] <= 0) break;
+            if (blocked[v >> 6] & (1ULL << (v & 63))) continue;
+            sel.push_back(v);
+            val += w[v];
+            const uint64_t* rv = g.row(v);
+            for (int wi = 0; wi < words; ++wi) blocked[wi] |= rv[wi];
+        }
+        return val;
+    }
+
+
+    // (1,2)-swap local search: improve an IS by removing one member and
+    // inserting two non-adjacent non-members from its freed neighborhood.
+    // Sharpens B&B incumbents cheaply (the classic NPHard local search).
+    double improve_12(const uint64_t* P, std::vector<int>& sel,
+                      double val) const {
+        std::vector<uint64_t> selmask(words, 0);
+        for (int v : sel) selmask[v >> 6] |= (1ULL << (v & 63));
+        bool improved = true;
+        while (improved && !timed_out) {
+            improved = false;
+            for (size_t si = 0; si < sel.size(); ++si) {
+                int v = sel[si];
+                // candidates: in P, not in sel, all sel-neighbors == v only
+                std::vector<int> cand;
+                for_each(P, [&](int u) {
+                    if (selmask[u >> 6] & (1ULL << (u & 63))) return;
+                    // u's selected neighbors must be exactly {v}
+                    const uint64_t* ru = g.row(u);
+                    for (int wk = 0; wk < words; ++wk) {
+                        uint64_t hit = ru[wk] & selmask[wk];
+                        if (wk == (v >> 6)) hit &= ~(1ULL << (v & 63));
+                        if (hit) return;
+                    }
+                    if (ru[v >> 6] & (1ULL << (v & 63))) cand.push_back(u);
+                });
+                // best pair of non-adjacent candidates
+                double bestgain = 0.0;
+                int ba = -1, bb = -1;
+                for (size_t i = 0; i < cand.size(); ++i)
+                    for (size_t j = i + 1; j < cand.size(); ++j) {
+                        int a = cand[i], b = cand[j];
+                        if (g.row(a)[b >> 6] & (1ULL << (b & 63))) continue;
+                        double gain = w[a] + w[b] - w[v];
+                        if (gain > bestgain + 1e-12) {
+                            bestgain = gain;
+                            ba = a;
+                            bb = b;
+                        }
+                    }
+                if (ba >= 0) {
+                    selmask[v >> 6] &= ~(1ULL << (v & 63));
+                    selmask[ba >> 6] |= (1ULL << (ba & 63));
+                    selmask[bb >> 6] |= (1ULL << (bb & 63));
+                    sel[si] = ba;
+                    sel.push_back(bb);
+                    val += bestgain;
+                    improved = true;
+                }
+            }
+        }
+        return val;
+    }
+
+
+    // GRASP incumbent: randomized greedy restarts (multiplicative weight
+    // noise, xorshift PRNG) + (1,2)-swap local search. Finds optimal or
+    // near-optimal solutions fast; B&B then mostly proves optimality.
+    double grasp(const uint64_t* P, std::vector<int>& best_sel,
+                 int restarts = 24) const {
+        double best = greedy_in(P, best_sel);
+        best = improve_12(P, best_sel, best);
+        uint64_t rng = 0x9e3779b97f4a7c15ULL;
+        auto rnd = [&]() {
+            rng ^= rng << 13;
+            rng ^= rng >> 7;
+            rng ^= rng << 17;
+            return (double)(rng >> 11) / (double)(1ULL << 53);
+        };
+        std::vector<int> cand0;
+        for_each(P, [&](int v) { cand0.push_back(v); });
+        for (int r = 0; r < restarts && !timed_out; ++r) {
+            double amp = 0.1 + 0.4 * rnd();
+            std::vector<std::pair<double, int>> order;
+            order.reserve(cand0.size());
+            for (int v : cand0)
+                order.push_back({-w[v] * (1.0 + amp * (rnd() - 0.5)), v});
+            std::sort(order.begin(), order.end());
+            std::vector<uint64_t> blocked(words, 0);
+            std::vector<int> sel;
+            double val = 0.0;
+            for (auto& pr : order) {
+                int v = pr.second;
+                if (w[v] <= 0) continue;
+                if (blocked[v >> 6] & (1ULL << (v & 63))) continue;
+                sel.push_back(v);
+                val += w[v];
+                const uint64_t* rv = g.row(v);
+                for (int wi = 0; wi < words; ++wi) blocked[wi] |= rv[wi];
+            }
+            val = improve_12(P, sel, val);
+            if (val > best) {
+                best = val;
+                best_sel = sel;
+            }
+        }
+        return best;
+    }
+
+    // split off the connected component of P containing v
+    void component_of(const uint64_t* P, int v, uint64_t* comp) const {
+        std::fill(comp, comp + words, 0);
+        comp[v >> 6] |= (1ULL << (v & 63));
+        bool grew = true;
+        while (grew) {
+            grew = false;
+            for (int wi = 0; wi < words; ++wi) {
+                uint64_t word = comp[wi];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    const uint64_t* rv = g.row(wi * 64 + b);
+                    for (int wj = 0; wj < words; ++wj) {
+                        uint64_t add = rv[wj] & P[wj] & ~comp[wj];
+                        if (add) { comp[wj] |= add; grew = true; }
+                    }
+                }
+            }
+        }
+    }
+
+
+
+    // Greedy weighted clique cover UB: iterate by weight desc, first-fit into
+    // cliques; UB = sum of each clique's max weight. Tight on dense cores.
+    double clique_cover_ub(const uint64_t* P) const {
+        std::vector<int> cand;
+        for_each(P, [&](int v) { if (w[v] > 0) cand.push_back(v); });
+        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
+            return w[a] > w[b];
+        });
+        // each clique tracked as the intersection of members' neighborhoods:
+        // v can join clique c iff v is adjacent to all members <=> v in mask_c
+        static thread_local std::vector<std::vector<uint64_t>> masks;
+        masks.clear();
+        double ub = 0.0;
+        for (int v : cand) {
+            bool placed = false;
+            for (auto& m : masks) {
+                if (m[v >> 6] & (1ULL << (v & 63))) {
+                    const uint64_t* rv = g.row(v);
+                    for (int wi = 0; wi < words; ++wi) m[wi] &= rv[wi];
+                    placed = true;
+                    break;
+                }
+            }
+            if (!placed) {
+                masks.emplace_back(g.row(v), g.row(v) + words);
+                ub += w[v];
+            }
+        }
+        return ub;
+    }
+
+    // Simplicial reduction: if N(v) ∩ P is a clique and w_v >= max nbr
+    // weight, take v. Domination removal: for adjacent (u, v) with
+    // N[u] ⊆ N[v] and w_v <= w_u, remove v. Returns value added.
+    double reduce_struct(std::vector<uint64_t>& P, std::vector<int>& out) {
+        double base = 0.0;
+        bool changed = true;
+        std::vector<uint64_t> nbrP(words);
+        while (changed && !timed_out) {
+            changed = false;
+            for (int wi = 0; wi < words; ++wi) {
+                uint64_t word = P[wi];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    int v = wi * 64 + b;
+                    const uint64_t* rv = g.row(v);
+                    for (int wj = 0; wj < words; ++wj)
+                        nbrP[wj] = rv[wj] & P[wj];
+                    int deg = 0;
+                    for (int wj = 0; wj < words; ++wj)
+                        deg += __builtin_popcountll(nbrP[wj]);
+                    if (deg == 0) {
+                        if (w[v] > 0) { base += w[v]; out.push_back(v); }
+                        clearbit(P.data(), v);
+                        changed = true;
+                        continue;
+                    }
+                    if (deg <= 16) {
+                        // clique-neighborhood removal: take v if w_v covers
+                        // the best any IS can extract from N(v) (UB by
+                        // weighted clique cover of the neighborhood)
+                        double nb_ub = clique_cover_ub(nbrP.data());
+                        if (w[v] >= nb_ub && w[v] > 0) {
+                            base += w[v];
+                            out.push_back(v);
+                            for (int wk = 0; wk < words; ++wk)
+                                P[wk] &= ~nbrP[wk];
+                            clearbit(P.data(), v);
+                            changed = true;
+                            word &= P[wi];  // drop removed bits from snapshot
+                            continue;
+                        }
+                    }
+                    // domination removal over neighbors u of v:
+                    // if N[u] ⊆ N[v] and w_v <= w_u -> drop v
+                    for (int wj = 0; wj < words; ++wj) {
+                        uint64_t nw = nbrP[wj];
+                        bool dropped = false;
+                        while (nw) {
+                            int nb = __builtin_ctzll(nw);
+                            nw &= nw - 1;
+                            int u = wj * 64 + nb;
+                            if (w[u] < w[v]) continue;
+                            if (w[u] == w[v] && u > v) continue;  // break sym
+                            const uint64_t* ru = g.row(u);
+                            bool subset = true;
+                            for (int wk = 0; wk < words; ++wk) {
+                                uint64_t nu = ru[wk] & P[wk];
+                                if (wk == (v >> 6)) nu &= ~(1ULL << (v & 63));
+                                uint64_t nv = nbrP[wk];
+                                if (wk == (u >> 6)) nv &= ~(1ULL << (u & 63));
+                                if (nu & ~nv) { subset = false; break; }
+                            }
+                            if (subset) {  // N_P[u] ⊆ N_P[v], w_v <= w_u
+                                clearbit(P.data(), v);
+                                changed = true;
+                                dropped = true;
+                                break;
+                            }
+                        }
+                        if (dropped) break;
+                    }
+                }
+            }
+        }
+        return base;
+    }
+
+    // Nemhauser-Trotter LP persistency on the (positive-weight) subgraph P:
+    // solve the half-integral vertex-cover LP via bipartite max-flow on the
+    // double cover; vertices with x_v = 1 go into the solution, x_v = 0 are
+    // removed, and only the x = 1/2 core remains in P. Returns added value.
+    double nt_reduce(std::vector<uint64_t>& P, std::vector<int>& out,
+                     double* core_half = nullptr) {
+        if (core_half) *core_half = 0.0;
+        std::vector<int> verts;
+        for_each(P.data(), [&](int v) { verts.push_back(v); });
+        int cnt = (int)verts.size();
+        if (cnt == 0) return 0.0;
+        std::vector<int> pos(g.n, -1);
+        for (int i = 0; i < cnt; ++i) pos[verts[i]] = i;
+        int S = 2 * cnt, T = 2 * cnt + 1;
+        Dinic din(2 * cnt + 2);
+        for (int i = 0; i < cnt; ++i) {
+            din.add_edge(S, i, w[verts[i]]);
+            din.add_edge(cnt + i, T, w[verts[i]]);
+        }
+        for (int i = 0; i < cnt; ++i) {
+            const uint64_t* rv = g.row(verts[i]);
+            for (int wj = 0; wj < words; ++wj) {
+                uint64_t word = rv[wj] & P[wj];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    int j = pos[wj * 64 + b];
+                    din.add_edge(i, cnt + j, 1e300);
+                }
+            }
+        }
+        din.max_flow(S, T);
+        std::vector<char> Z = din.reachable(S);
+        double base = 0.0;
+        for (int i = 0; i < cnt; ++i) {
+            int v = verts[i];
+            int yl = Z[i] ? 0 : 1;          // L-side cover membership
+            int yr = Z[cnt + i] ? 1 : 0;    // R-side cover membership
+            int y2 = yl + yr;               // 2*y_v in {0, 1, 2}
+            if (y2 == 0) {                  // x_v = 1: persistently in MWIS
+                base += w[v];
+                out.push_back(v);
+                clearbit(P.data(), v);
+            } else if (y2 == 2) {           // x_v = 0: persistently out
+                clearbit(P.data(), v);
+            } else if (core_half) {        // y2 == 1: half core, keep
+                *core_half += 0.5 * w[v];
+            }
+        }
+        return base;
+    }
+
+    // exact value of subgraph P; appends chosen vertices into out
+    double solve(std::vector<uint64_t> P, std::vector<int>& out) {
+        double base = 0.0;
+        // nonpositive-weight vertices never belong to an optimal MWIS
+        for_each(P.data(), [&](int v) {
+            if (w[v] <= 0) clearbit(P.data(), v);
+        });
+        // ---- reduction loop
+        for (;;) {
+            if (timed_out) break;
+            bool changed = false;
+            for (int wi = 0; wi < words; ++wi) {
+                uint64_t word = P[wi];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    int v = wi * 64 + b;
+                    int deg = popcount_and(g.row(v), P.data(), words);
+                    if (deg == 0) {
+                        if (w[v] > 0) { base += w[v]; out.push_back(v); }
+                        clearbit(P.data(), v);
+                        changed = true;
+                    } else if (w[v] > 0 && w[v] >= nbr_sum_pos(P.data(), v)) {
+                        base += w[v];
+                        out.push_back(v);
+                        const uint64_t* rv = g.row(v);
+                        for (int wj = 0; wj < words; ++wj) P[wj] &= ~rv[wj];
+                        clearbit(P.data(), v);
+                        changed = true;
+                        word = P[wi];  // refresh
+                    }
+                }
+            }
+            if (!changed) break;
+        }
+        if (!timed_out) base += reduce_struct(P, out);
+        // ---- LP persistency (Nemhauser-Trotter)
+        if (!timed_out) base += nt_reduce(P, out);
+        int first = -1;
+        for (int wi = 0; wi < words && first < 0; ++wi)
+            if (P[wi]) first = wi * 64 + __builtin_ctzll(P[wi]);
+        if (first < 0) return base;
+        if (timed_out) {
+            std::vector<int> sel;
+            base += greedy_in(P.data(), sel);
+            out.insert(out.end(), sel.begin(), sel.end());
+            return base;
+        }
+        // ---- component decomposition
+        std::vector<uint64_t> comp(words);
+        component_of(P.data(), first, comp.data());
+        bool whole = true;
+        for (int wi = 0; wi < words; ++wi)
+            if (comp[wi] != P[wi]) { whole = false; break; }
+        if (!whole) {
+            std::vector<uint64_t> rest(words);
+            for (int wi = 0; wi < words; ++wi) rest[wi] = P[wi] & ~comp[wi];
+            base += solve(comp, out);
+            base += solve(std::move(rest), out);
+            return base;
+        }
+        // ---- single connected component: B&B
+        std::vector<int> best_sel;
+        double best = grasp(P.data(), best_sel) - 1e-12;
+        std::vector<int> cur;
+        bnb(P, 0.0, cur, best, best_sel);
+        out.insert(out.end(), best_sel.begin(), best_sel.end());
+        return base + best;
+    }
+
+    void bnb(std::vector<uint64_t>& P, double curval, std::vector<int>& cur,
+             double& best, std::vector<int>& best_sel, int depth = 0) {
+        if (timed_out) return;
+        if ((++nodes_visited & 1023) == 0 && Clock::now() > deadline) {
+            timed_out = true;
+            return;
+        }
+        size_t undo_cur = cur.size();
+        auto undo = [&]() { cur.resize(undo_cur); };
+        // cheap in-node reduction: isolated takes + low-degree
+        // clique-neighborhood takes (popcount-only tests)
+        std::vector<uint64_t> nbrP(words);
+        bool changed = true;
+        int pick = -1, pick_deg = -1;
+        while (changed) {
+            changed = false;
+            pick = -1;
+            pick_deg = -1;
+            for (int wi = 0; wi < words; ++wi) {
+                uint64_t word = P[wi];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    int v = wi * 64 + b;
+                    const uint64_t* rv = g.row(v);
+                    int deg = 0;
+                    for (int wj = 0; wj < words; ++wj) {
+                        nbrP[wj] = rv[wj] & P[wj];
+                        deg += __builtin_popcountll(nbrP[wj]);
+                    }
+                    if (deg == 0) {
+                        if (w[v] > 0) { cur.push_back(v); curval += w[v]; }
+                        clearbit(P.data(), v);
+                        changed = true;
+                        continue;
+                    }
+                    if (deg <= 3 && w[v] > 0
+                        && w[v] >= clique_cover_ub(nbrP.data())) {
+                        cur.push_back(v);
+                        curval += w[v];
+                        for (int wk = 0; wk < words; ++wk) P[wk] &= ~nbrP[wk];
+                        clearbit(P.data(), v);
+                        changed = true;
+                        word &= P[wi];
+                        continue;
+                    }
+                    if (pick < 0 || w[v] > w[pick]
+                        || (w[v] == w[pick] && v < pick)) {
+                        pick_deg = deg;
+                        pick = v;
+                    }
+                }
+            }
+        }
+        if (pick < 0) {
+            if (curval > best) { best = curval; best_sel = cur; }
+            undo();
+            return;
+        }
+        if (curval + clique_cover_ub(P.data()) <= best + 1e-12) {
+            undo();
+            return;
+        }
+        // periodic LP persistency: strong but costly -> shallow depths only
+        if (depth % 8 == 0) {
+            double core_half = 0.0;
+            std::vector<uint64_t> Pn(P);
+            size_t before = cur.size();
+            double taken = nt_reduce(Pn, cur, &core_half);
+            if (curval + taken + core_half <= best + 1e-12) {
+                undo();
+                return;
+            }
+            if (taken > 0 || true) {
+                // adopt the reduced problem (persistency is exact)
+                P.swap(Pn);
+                curval += taken;
+                pick = -1;
+                pick_deg = -1;
+                for (int wi = 0; wi < words; ++wi) {
+                    uint64_t word = P[wi];
+                    while (word) {
+                        int b = __builtin_ctzll(word);
+                        word &= word - 1;
+                        int v = wi * 64 + b;
+                        int deg = popcount_and(g.row(v), P.data(), words);
+                        if (pick < 0 || w[v] > w[pick]
+                            || (w[v] == w[pick] && v < pick)) {
+                            pick_deg = deg;
+                            pick = v;
+                        }
+                    }
+                }
+                if (pick < 0) {
+                    if (curval > best) { best = curval; best_sel = cur; }
+                    undo();
+                    return;
+                }
+            }
+        }
+        // component decomposition of the core: solve pieces independently
+        {
+            std::vector<uint64_t> comp(words);
+            component_of(P.data(), pick, comp.data());
+            bool whole = true;
+            for (int wi = 0; wi < words; ++wi)
+                if (comp[wi] != P[wi]) { whole = false; break; }
+            if (!whole) {
+                std::vector<int> sub_sel;
+                std::vector<uint64_t> Pc(P);
+                double val = curval + solve(std::move(Pc), sub_sel);
+                if (val > best) {
+                    best = val;
+                    best_sel = cur;
+                    best_sel.insert(best_sel.end(), sub_sel.begin(),
+                                    sub_sel.end());
+                }
+                undo();
+                return;
+            }
+        }
+        int v = pick;
+        // branch 1: include v
+        {
+            std::vector<uint64_t> P1(P);
+            const uint64_t* rv = g.row(v);
+            for (int wi = 0; wi < words; ++wi) P1[wi] &= ~rv[wi];
+            clearbit(P1.data(), v);
+            cur.push_back(v);
+            bnb(P1, curval + w[v], cur, best, best_sel, depth + 1);
+            cur.pop_back();
+        }
+        if (timed_out) { undo(); return; }
+        // branch 2: exclude v
+        {
+            std::vector<uint64_t> P2(P);
+            clearbit(P2.data(), v);
+            bnb(P2, curval, cur, best, best_sel, depth + 1);
+        }
+        undo();
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Exact MWIS. adjacency as CSR (indptr[n+1], indices), weights w[n].
+// out_sel[n] gets 0/1; returns status 0=optimal 1=timeout(best found).
+int mwis_exact(const int32_t* indptr, const int32_t* indices,
+               const double* w, int n, double timeout_sec,
+               int8_t* out_sel, double* out_val) {
+    BitGraph g(n);
+    for (int v = 0; v < n; ++v)
+        for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+            if (indices[e] > v) g.add_edge(v, indices[e]);
+    Solver s(g, w, timeout_sec);
+    std::vector<uint64_t> P(g.words, 0);
+    for (int v = 0; v < n; ++v) P[v >> 6] |= (1ULL << (v & 63));
+    std::vector<int> chosen;
+    double val = s.solve(std::move(P), chosen);
+    std::memset(out_sel, 0, n);
+    for (int v : chosen) out_sel[v] = 1;
+    *out_val = val;
+    return s.timed_out ? 1 : 0;
+}
+
+// Centralized greedy (heuristics.py:13-35 semantics, stable tie by id).
+double greedy_mwis(const int32_t* indptr, const int32_t* indices,
+                   const double* w, int n, int8_t* out_sel) {
+    std::vector<int> order(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(),
+              [&](int a, int b) { return w[a] > w[b] || (w[a] == w[b] && a < b); });
+    std::vector<int8_t> blocked(n, 0);
+    double val = 0.0;
+    std::memset(out_sel, 0, n);
+    for (int v : order) {
+        if (blocked[v]) continue;
+        out_sel[v] = 1;
+        val += w[v];
+        for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+            blocked[indices[e]] = 1;
+    }
+    return val;
+}
+
+// Local greedy search (heuristics.py:77-116 semantics incl. id tie-break).
+// Returns rounds; out_sel in {-1 remaining(never at exit), 0 excluded, 1 in}.
+int local_greedy(const int32_t* indptr, const int32_t* indices,
+                 const double* w, int n, int8_t* out_sel, double* out_val) {
+    std::vector<int8_t> sel(n, -1);
+    int rounds = 0;
+    bool any = n > 0;
+    while (any) {
+        any = false;
+        ++rounds;
+        std::vector<int> winners;
+        for (int v = 0; v < n; ++v) {
+            if (sel[v] != -1) continue;
+            double m = -1e300;
+            int tied_min = n + 1;
+            bool has = false;
+            for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+                int u = indices[e];
+                if (sel[u] != -1) continue;
+                has = true;
+                if (w[u] > m) { m = w[u]; tied_min = u; }
+                else if (w[u] == m && u < tied_min) tied_min = u;
+            }
+            if (!has || w[v] > m || (w[v] == m && v < tied_min))
+                winners.push_back(v);
+        }
+        for (int v : winners) {
+            sel[v] = 1;
+            for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+                if (sel[indices[e]] == -1) sel[indices[e]] = 0;
+        }
+        for (int v = 0; v < n; ++v) if (sel[v] == -1) { any = true; break; }
+        if (winners.empty() && any) break;  // safety; cannot happen
+    }
+    double val = 0.0;
+    for (int v = 0; v < n; ++v) if (sel[v] == 1) val += w[v];
+    std::memcpy(out_sel, sel.data(), n);
+    *out_val = val;
+    return rounds;
+}
+
+}  // extern "C"

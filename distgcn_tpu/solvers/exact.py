@@ -1,0 +1,185 @@
+"""Exact MWIS solver — native C++ branch & bound with python fallback.
+
+API parity with the reference's `mlp_gurobi` (heuristics.py:327-355):
+``mwis_exact(adj, wts, timeout) -> (solution_indices, utility, status)``
+with status in {"Optimal", "Timeout"} (the reference returned PuLP status
+strings; drivers only check truthiness / log it).
+
+The native kernel (native/mwis_exact.cpp) is compiled on first use with g++
+and cached next to the source. It also exports fast host greedy/LGS used by
+the wireless simulator's CPU-bound loops (`fast_greedy`, `fast_local_greedy`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "mwis_exact.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libdistgcn_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if (not os.path.isfile(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     _SRC, "-o", _LIB],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB)
+            lib.mwis_exact.restype = ctypes.c_int
+            lib.mwis_exact.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_double)]
+            lib.greedy_mwis.restype = ctypes.c_double
+            lib.greedy_mwis.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8)]
+            lib.local_greedy.restype = ctypes.c_int
+            lib.local_greedy.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_double)]
+            _lib = lib
+        except Exception:
+            _build_failed = True
+            _lib = None
+        return _lib
+
+
+def _csr(adj) -> sp.csr_matrix:
+    a = adj.tocsr() if sp.issparse(adj) else sp.csr_matrix(np.asarray(adj))
+    return a.astype(np.float64)
+
+
+def _csr_ptrs(a: sp.csr_matrix):
+    indptr = np.ascontiguousarray(a.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(a.indices, dtype=np.int32)
+    return (indptr, indices,
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+
+def mwis_exact(adj, wts, timeout: float = 300.0
+               ) -> Tuple[np.ndarray, float, str]:
+    """Exact MWIS. Returns (selected indices, utility, status)."""
+    a = _csr(adj)
+    w = np.ascontiguousarray(np.asarray(wts, dtype=np.float64).flatten())
+    n = w.size
+    lib = _load_native()
+    if lib is not None:
+        _, _, p_indptr, p_indices = _csr_ptrs(a)
+        sel = np.zeros(n, dtype=np.int8)
+        val = ctypes.c_double(0.0)
+        status = lib.mwis_exact(
+            p_indptr, p_indices,
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            ctypes.c_double(timeout),
+            sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.byref(val))
+        solu = np.nonzero(sel == 1)[0]
+        return solu, float(val.value), "Optimal" if status == 0 else "Timeout"
+    # python fallback: exact B&B (same algorithm, set-based)
+    solu, val, status = _python_bnb(a, w, timeout)
+    return solu, val, status
+
+
+# alias matching the reference name so ported driver code reads naturally
+mlp_gurobi = mwis_exact
+
+
+def fast_greedy(adj, wts) -> Tuple[set, float]:
+    """Native greedy_search; falls back to the numpy version."""
+    lib = _load_native()
+    if lib is None:
+        from distgcn_tpu.solvers.greedy import greedy_search
+        return greedy_search(adj, wts)
+    a = _csr(adj)
+    w = np.ascontiguousarray(np.asarray(wts, dtype=np.float64).flatten())
+    _, _, p_indptr, p_indices = _csr_ptrs(a)
+    sel = np.zeros(w.size, dtype=np.int8)
+    val = lib.greedy_mwis(p_indptr, p_indices,
+                          w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                          w.size,
+                          sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return set(np.nonzero(sel == 1)[0].tolist()), float(val)
+
+
+def fast_local_greedy(adj, wts) -> Tuple[set, float]:
+    """Native local_greedy_search; falls back to the numpy version."""
+    lib = _load_native()
+    if lib is None:
+        from distgcn_tpu.solvers.greedy import local_greedy_search
+        return local_greedy_search(adj, wts)
+    a = _csr(adj)
+    w = np.ascontiguousarray(np.asarray(wts, dtype=np.float64).flatten())
+    _, _, p_indptr, p_indices = _csr_ptrs(a)
+    sel = np.zeros(w.size, dtype=np.int8)
+    val = ctypes.c_double(0.0)
+    lib.local_greedy(p_indptr, p_indices,
+                     w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                     w.size,
+                     sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                     ctypes.byref(val))
+    return set(np.nonzero(sel == 1)[0].tolist()), float(val.value)
+
+
+def _python_bnb(a: sp.csr_matrix, w: np.ndarray, timeout: float
+                ) -> Tuple[np.ndarray, float, str]:
+    import time
+    n = w.size
+    deadline = time.monotonic() + timeout
+    nbrs = [frozenset(a.indices[a.indptr[v]: a.indptr[v + 1]].tolist())
+            for v in range(n)]
+    # greedy seed
+    from distgcn_tpu.solvers.greedy import greedy_search
+    seed, seed_val = greedy_search(a, w)
+    best = [seed_val - 1e-12, set(seed)]
+    timed_out = [False]
+
+    def ub(P):
+        return sum(w[v] for v in P if w[v] > 0)
+
+    def rec(P: set, cur: float, sel: set):
+        if timed_out[0]:
+            return
+        if time.monotonic() > deadline:
+            timed_out[0] = True
+            return
+        if not P:
+            if cur > best[0]:
+                best[0], best[1] = cur, set(sel)
+            return
+        if cur + ub(P) <= best[0]:
+            return
+        v = max(P, key=lambda u: (len(nbrs[u] & P), w[u]))
+        # include
+        rec(P - nbrs[v] - {v}, cur + w[v], sel | {v})
+        # exclude
+        rec(P - {v}, cur, sel)
+
+    rec(set(range(n)), 0.0, set())
+    solu = np.array(sorted(best[1]), dtype=int)
+    return solu, float(w[solu].sum() if solu.size else 0.0), \
+        "Timeout" if timed_out[0] else "Optimal"

@@ -1,0 +1,84 @@
+"""Exact MWIS solver tests (native B&B + python fallback)."""
+
+import itertools
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import random_graph
+from distgcn_tpu.solvers.exact import (fast_greedy, fast_local_greedy,
+                                       mwis_exact, _python_bnb, _csr)
+from distgcn_tpu.solvers.greedy import greedy_search, local_greedy_search
+
+
+def brute_force(adj, w):
+    a = sp.csr_matrix(adj)
+    n = w.size
+    nbrs = [set(a.indices[a.indptr[v]: a.indptr[v + 1]]) for v in range(n)]
+    best = 0.0
+    for r in range(n + 1):
+        for c in itertools.combinations(range(n), r):
+            cs = set(c)
+            if any(nbrs[v] & cs for v in c):
+                continue
+            best = max(best, w[list(c)].sum())
+    return best
+
+
+def check_is(adj, sel):
+    a = sp.csr_matrix(adj)
+    ss = set(int(v) for v in sel)
+    for v in ss:
+        assert not (set(a.indices[a.indptr[v]: a.indptr[v + 1]]) & ss)
+
+
+def test_exact_matches_brute_force(rng):
+    for _ in range(10):
+        n = 12
+        a = random_graph(rng, n, 0.3)
+        w = rng.random(n)
+        want = brute_force(a, w)
+        solu, val, status = mwis_exact(a, w, 10)
+        check_is(a, solu)
+        assert status == "Optimal"
+        assert val == pytest.approx(want, abs=1e-9)
+
+
+def test_exact_beats_greedy(rng):
+    a = random_graph(rng, 120, 0.05)
+    w = rng.random(120)
+    solu, val, status = mwis_exact(a, w, 20)
+    _, gval = greedy_search(a, w)
+    check_is(a, solu)
+    assert val >= gval - 1e-9
+
+
+def test_exact_empty_and_trivial():
+    a = sp.csr_matrix((4, 4))
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    solu, val, status = mwis_exact(a, w, 5)
+    assert val == pytest.approx(10.0)
+    # single edge: takes the heavier endpoint
+    a2 = sp.csr_matrix(np.array([[0, 1], [1, 0]], float))
+    solu, val, _ = mwis_exact(a2, np.array([1.0, 5.0]), 5)
+    assert set(solu.tolist()) == {1} and val == pytest.approx(5.0)
+
+
+def test_python_fallback_matches_native(rng):
+    for _ in range(3):
+        n = 14
+        a = random_graph(rng, n, 0.25)
+        w = rng.random(n)
+        _, val_native, _ = mwis_exact(a, w, 10)
+        _, val_py, status = _python_bnb(_csr(a), w.astype(np.float64), 10)
+        assert status == "Optimal"
+        assert val_py == pytest.approx(val_native, abs=1e-9)
+
+
+def test_fast_native_solvers_parity(rng):
+    for _ in range(5):
+        a = random_graph(rng, 70, 0.1)
+        w = np.round(rng.random(70) * 8) / 8  # engineered ties
+        assert fast_greedy(a, w)[0] == greedy_search(a, w)[0]
+        assert fast_local_greedy(a, w)[0] == local_greedy_search(a, w)[0]

@@ -1,0 +1,111 @@
+"""Wireless graph utilities + simulator tests."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from distgcn_tpu.data import generate, wireless
+from distgcn_tpu.sim.wireless import (SimParams, algolist_for_opt,
+                                      gen_arrivals, gen_link_rates,
+                                      run_instance, slot_weights)
+
+
+@pytest.fixture
+def gdict(tmp_path, rng):
+    n = generate.generate_wireless_network(str(tmp_path), n_networks=1,
+                                           area=100, n_nodes=40,
+                                           r_connect=2.0, r_interfere=4.0,
+                                           seed=7)
+    assert n == 1
+    import scipy.io as sio
+    import os
+    f = sorted(os.listdir(tmp_path))[0]
+    m = sio.loadmat(str(tmp_path / f))
+    return m["gdict"][0, 0]
+
+
+def test_poisson_graphs_from_dict(gdict):
+    adj_c, xys, adj_i = wireless.poisson_graphs_from_dict(gdict)
+    assert adj_c.shape[0] == xys.shape[0]
+    flows = wireless.flows_from_connectivity(adj_c)
+    assert adj_i.shape == (len(flows), len(flows))
+    # conflict graph symmetric, zero diagonal
+    assert (adj_i != adj_i.T).nnz == 0
+    assert adj_i.diagonal().sum() == 0
+
+
+def test_multichannel_conflict_graph(gdict, rng):
+    adj_c, graphs = wireless.poisson_multigraphs_from_dict(
+        gdict, k=3, p=0.8, rng=rng)
+    adj_list, adj_gk = wireless.multichannel_conflict_graph(graphs)
+    nn = graphs[0].shape[0]
+    assert adj_gk.shape == (3 * nn, 3 * nn)
+    # single-radio cliques: node (i, k1) conflicts with (i, k2)
+    for i in range(min(nn, 5)):
+        assert adj_gk[i, nn + i] == 1
+        assert adj_gk[nn + i, 2 * nn + i] == 1
+    # channel-local edges present
+    iu, ju = sp.triu(graphs[1], k=1).nonzero()
+    if iu.size:
+        assert adj_gk[nn + iu[0], nn + ju[0]] == 1
+
+
+def test_arrival_and_rate_streams_deterministic():
+    np.random.seed(3)
+    a1 = gen_arrivals(10, 50, 0.5, 0, 100)
+    r1 = gen_link_rates(10, 50, 2, 0, 100)
+    np.random.seed(3)
+    a2 = gen_arrivals(10, 50, 0.5, 0, 100)
+    r2 = gen_link_rates(10, 50, 2, 0, 100)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(r1, r2)
+    assert (r1 >= 0).all() and (r1 <= 100).all()
+    assert a1.shape == (50, 10)
+
+
+def test_slot_weights_modes():
+    q = np.array([2.0, 0.0, 5.0])
+    r = np.array([[10], [20], [0]])
+    assert np.allclose(slot_weights(q, r, "qr")[:, 0], [20, 0, 0])
+    assert np.allclose(slot_weights(q, r, "q")[:, 0], [2, 0, 5])
+    assert np.allclose(slot_weights(q, r, "qrm")[:, 0], [2, 0, 0])
+    qor = slot_weights(q, r, "qor")[:, 0]
+    assert np.allclose(qor, [0.2, 0.0, 0.0])
+
+
+def test_run_instance_greedy_only(gdict):
+    _, _, adj_i = wireless.poisson_graphs_from_dict(gdict)
+    nflows = adj_i.shape[0]
+    if nflows == 0:
+        pytest.skip("degenerate instance")
+    params = SimParams(timeslots=20, benchmark="greedy")
+    metrics = run_instance(adj_i, nflows, 0.5, 1, ["Greedy"], params)
+    m = metrics["Greedy"]
+    assert m["avg_queue_len"] >= 0
+    assert 0 < m["avg_utility"] <= 1.0 + 1e-9
+
+
+def test_algolist_for_opt():
+    assert algolist_for_opt(0) == ["Greedy", "DGCN-LGS", "Benchmark"]
+    assert algolist_for_opt(2) == ["DGCN-RS"]
+    assert algolist_for_opt(7) == ["LGS-Seq"]
+    with pytest.raises(ValueError):
+        algolist_for_opt(42)
+
+
+def test_run_instance_with_agent(gdict):
+    from distgcn_tpu.agents import DQNAgent
+    from distgcn_tpu.utils.config import Config
+    _, _, adj_i = wireless.poisson_graphs_from_dict(gdict)
+    nflows = adj_i.shape[0]
+    if nflows == 0:
+        pytest.skip("degenerate instance")
+    cfg = Config(feature_size=1, hidden1=8, num_layer=1, diver_num=1,
+                 max_degree=1, predict="mwis", epsilon=0.0, pad_to=64)
+    agent = DQNAgent(cfg, model_family="gcn_dqn")
+    params = SimParams(timeslots=10, benchmark="greedy")
+    metrics = run_instance(adj_i, nflows, 0.4, 2,
+                           ["Greedy", "DGCN-LGS"], params, agent=agent)
+    assert set(metrics) == {"Greedy", "DGCN-LGS"}
+    for m in metrics.values():
+        assert np.isfinite(m["avg_queue_len"])
