@@ -1,0 +1,226 @@
+"""Ring-partitioned SpMM: scaling a single giant graph across devices.
+
+The reference never partitions a graph (largest ~300 nodes); its "distributed"
+aspect is the wireless protocol cost model (heuristics.py:163-263). Here the
+graph-scaling dimension (SURVEY §2.5: the SP analog) is first-class:
+
+Partition the support matrix S row-wise across the ``graph`` mesh axis
+(device d owns rows R_d and features X[R_d]). Then
+
+    Y[R_d] = sum_k S[R_d, R_k] @ X[R_k]
+
+is computed in D ring steps: each device holds one X shard at a time,
+multiplies its local S column-panel against it, and passes the shard to its
+ring neighbor (`jax.lax.ppermute` over ICI) — compute overlaps the permute,
+peak memory is N*F/D, total comm N*F per device per layer. This is the graph
+analog of ring attention.
+
+For giant sparse graphs the per-panel matmul should be the Pallas BSR kernel
+(ops/spmm.py); the dense-panel version here is used for medium graphs and as
+the reference semantics for the sharded path.
+
+Also provides `lgs_round_sharded`: one LGS round over a row-partitioned
+graph (neighbor-max via the same ring pattern), demonstrating the full
+distributed scheduling loop on a partitioned conflict graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+AXIS = "graph"
+
+
+def _ring_perm(d: int):
+    return [(i, (i + 1) % d) for i in range(d)]
+
+
+def make_ring_spmm(mesh: Mesh, n: int, f: int):
+    """Returns jitted spmm(s_panels, x) for a row-partitioned dense support.
+
+    s_panels: [N, N] sharded P(AXIS, None) — device d holds S[R_d, :].
+    x:        [N, F] sharded P(AXIS, None) — device d holds X[R_d].
+    Output:   [N, F] sharded P(AXIS, None).
+    """
+    d = mesh.shape[AXIS]
+    n_loc = n // d
+
+    def local_fn(s_loc, x_loc):
+        # s_loc: [n_loc, N]; x_loc: [n_loc, F]
+        my = jax.lax.axis_index(AXIS)
+
+        def step(k, carry):
+            x_shard, y = carry
+            # shard currently held originates from device (my + k) mod d
+            src = jnp.mod(my - k, d)  # shard held at step k came from my-k
+            panel = jax.lax.dynamic_slice(
+                s_loc, (0, src * n_loc), (n_loc, n_loc))
+            y = y + jnp.dot(panel, x_shard,
+                            preferred_element_type=jnp.float32)
+            x_shard = jax.lax.ppermute(x_shard, AXIS, _ring_perm(d))
+            return (x_shard, y)
+
+        y0 = jax.lax.pvary(jnp.zeros((n_loc, x_loc.shape[1]), jnp.float32),
+                           AXIS)
+        x_fin, y = jax.lax.fori_loop(0, d, step, (x_loc, y0))
+        return y
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(AXIS, None), P(AXIS, None)),
+                   out_specs=P(AXIS, None))
+    return jax.jit(fn)
+
+
+def make_sharded_gcn_forward(mesh: Mesh, n: int, feature_size: int,
+                             params_list, max_degree: int = 1):
+    """Multi-layer ChebGCN forward over a row-partitioned graph.
+
+    params_list: [{'w_0': [Fin,Fout], 'w_1': ..., optional 'bias'}] per layer
+    (the compat/tf1_ckpt layout). Supports are [I, L] with L = I - norm(A)
+    computed on the partitioned adjacency (degree is a row property, so
+    normalization needs only a column-scale broadcast: D^-1/2 A D^-1/2).
+    Returns jitted forward(adj_sharded, deg_inv_sqrt_full, x_sharded).
+    """
+    d = mesh.shape[AXIS]
+    n_loc = n // d
+    spmm = None  # ring built inline per layer
+
+    def local_fn(a_loc, dis_full, x_loc):
+        # a_loc: [n_loc, N] raw 0/1 adjacency rows; dis_full: [N] replicated
+        my = jax.lax.axis_index(AXIS)
+        row_scale = jax.lax.dynamic_slice(dis_full, (my * n_loc,), (n_loc,))
+        lnorm = a_loc * row_scale[:, None] * dis_full[None, :]
+
+        h = x_loc
+        for li, layer in enumerate(params_list):
+            pre0 = jnp.dot(h, layer["w_0"],
+                           preferred_element_type=jnp.float32)
+            pre1 = jnp.dot(h, layer["w_1"],
+                           preferred_element_type=jnp.float32)
+            # supports: I @ pre0 + (I - Lnorm_adj) ... reference: S0=I, S1=L
+            # L @ pre1 = pre1 - Anorm @ pre1 ; Anorm @ pre1 via ring
+            def step(k, carry):
+                x_shard, y = carry
+                src = jnp.mod(my - k, d)  # shard held at step k came from my-k
+                panel = jax.lax.dynamic_slice(
+                    lnorm, (0, src * n_loc), (n_loc, n_loc))
+                y = y + jnp.dot(panel, x_shard,
+                                preferred_element_type=jnp.float32)
+                x_shard = jax.lax.ppermute(x_shard, AXIS, _ring_perm(d))
+                return (x_shard, y)
+
+            _, anorm_pre = jax.lax.fori_loop(0, d, step,
+                                             (pre1, jnp.zeros_like(pre1)))
+            out = pre0 + (pre1 - anorm_pre)
+            if "bias" in layer:
+                out = out + layer["bias"]
+            if li < len(params_list) - 1:
+                out = jax.nn.leaky_relu(out, negative_slope=0.2)
+            h = out
+        return h
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(AXIS, None), P(), P(AXIS, None)),
+                   out_specs=P(AXIS, None))
+    return jax.jit(fn)
+
+
+def make_sharded_lgs(mesh: Mesh, n: int):
+    """Full LGS over a row-partitioned graph: per round, each device computes
+    its rows' winners from the neighbor-key maxima assembled via the ring,
+    then winner flags are exchanged the same way. State stays sharded."""
+    d = mesh.shape[AXIS]
+    n_loc = n // d
+    BIG = jnp.float32(3.4e38)
+
+    def local_fn(a_loc, w_loc, mask_loc):
+        my = jax.lax.axis_index(AXIS)
+        ids_loc = (jax.lax.broadcasted_iota(jnp.int32, (n_loc, 1), 0)[:, 0]
+                   + my * n_loc)
+
+        def ring_reduce(payload_loc, combine, init):
+            """Accumulate combine(y, panel, payload_shard) over ring steps.
+            payload is [n_loc, C]."""
+            def step(k, carry):
+                shard, y, shard_off = carry
+                src = jnp.mod(my - k, d)  # shard held at step k came from my-k
+                panel = jax.lax.dynamic_slice(
+                    a_loc, (0, src * n_loc), (n_loc, n_loc))
+                y = combine(y, panel, shard, src)
+                shard = jax.lax.ppermute(shard, AXIS, _ring_perm(d))
+                return (shard, y, shard_off)
+
+            _, y, _ = jax.lax.fori_loop(
+                0, d, step, (payload_loc, jax.lax.pvary(init, AXIS), 0))
+            return y
+
+        def one_round(state):
+            sel, it = state
+            remain = sel == -1
+
+            # exchange (key, id) of remaining nodes; neighbor-max over ring
+            key_loc = jnp.where(remain, w_loc, -BIG)
+
+            def comb_max(y, panel, shard, src):
+                nbr = (panel > 0) & (shard[None, :, 0] > -BIG)
+                vals = jnp.where(nbr, shard[None, :, 0], -BIG)
+                return jnp.maximum(y, jnp.max(vals, axis=1))
+
+            payload = key_loc[:, None]
+            m = ring_reduce(payload, comb_max,
+                            jnp.full((n_loc,), -BIG, jnp.float32))
+
+            # tied-min-id over ring (ids of remaining nbrs achieving max m)
+            def comb_tid(y, panel, shard, src):
+                sid = (jax.lax.broadcasted_iota(jnp.int32, (n_loc, 1), 0)[:, 0]
+                       + src * n_loc)
+                nbr = (panel > 0) & (shard[None, :, 0] > -BIG)
+                tied = nbr & (shard[None, :, 0][..., :] == m[:, None])
+                cand = jnp.where(tied, sid[None, :],
+                                 jnp.int32(2 ** 31 - 1))
+                return jnp.minimum(y, jnp.min(cand, axis=1))
+
+            tid = ring_reduce(payload, comb_tid,
+                              jnp.full((n_loc,), 2 ** 31 - 1, jnp.int32))
+
+            has_nbr = m > -BIG
+            win = remain & (~has_nbr | (w_loc > m)
+                            | ((w_loc == m) & (ids_loc < tid)))
+
+            # exchange winner flags; exclude remaining nbrs of winners
+            def comb_any(y, panel, shard, src):
+                hit = (panel > 0) & (shard[None, :, 0] > 0)
+                return y | jnp.any(hit, axis=1)
+
+            wpay = win.astype(jnp.float32)[:, None]
+            excl_hit = ring_reduce(wpay, comb_any,
+                                   jnp.zeros((n_loc,), bool))
+            sel2 = jnp.where(win, jnp.int8(1), sel)
+            sel2 = jnp.where(remain & ~win & excl_hit, jnp.int8(0), sel2)
+            return sel2, it + 1
+
+        sel0 = jnp.where(mask_loc, jnp.int8(-1), jnp.int8(0))
+
+        def cond(state):
+            sel, it = state
+            any_local = jnp.any(sel == -1)
+            any_global = jax.lax.psum(any_local.astype(jnp.int32), AXIS) > 0
+            return any_global & (it < n)
+
+        sel, _ = jax.lax.while_loop(cond, one_round, (sel0, jnp.int32(0)))
+        util_loc = jnp.sum(jnp.where(sel == 1, w_loc, 0.0))
+        util = jax.lax.psum(util_loc, AXIS)
+        return sel, jnp.broadcast_to(util, (n_loc,))
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+                   out_specs=(P(AXIS), P(AXIS)))
+    return jax.jit(fn)
