@@ -107,12 +107,14 @@ class MWISSolver:
         self.model = make_model_from_config(flags, model_family)
         self.feature_mode = "gdpg"
         self._rng = np.random.default_rng(seed)
-        key = jax.random.PRNGKey(seed)
-        n0 = flags.pad_to
-        feats = jnp.zeros((1, n0, flags.feature_size))
-        sups = jnp.zeros((1, flags.num_supports, n0, n0))
-        self.params = self.model.init(key, feats, sups)["params"]
+        self._init_params(jax.random.PRNGKey(seed))
         self.opt_state = None  # set by trainer
+
+    def _init_params(self, key) -> None:
+        n0 = self.flags.pad_to
+        feats = jnp.zeros((1, n0, self.flags.feature_size))
+        sups = jnp.zeros((1, self.flags.num_supports, n0, n0))
+        self.params = self.model.init(key, feats, sups)["params"]
 
     # ------------------------------------------------------------------ io
     def load(self, name: str) -> bool:

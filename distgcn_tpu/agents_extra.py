@@ -1,0 +1,185 @@
+"""Additional agent families: legacy DQN, MLP ablation, diver tree-search.
+
+- `LegacyDQNAgent`: the flag-driven DQN of `mwis_dqn_call.py` (GCN_DQN
+  model, scope 'gcn_dqn'): L2-normalized weight features (:129-138),
+  epsilon randomizes the *score vector* during training (:226-228, unlike
+  the GDPG agent where it only perturbs the returned action), replay
+  assigns target_f[solution] = reward without batch standardization and
+  does NOT clear memory (:151-186).
+- `MLPAgent`: topology-blind ablation of `mwis_mlp_call.py` — MLP2 Q-net
+  over per-node degree features (:70-81).
+- `DiverAgent`: re-spec of the missing `mwis_rollout_call` module
+  (SURVEY §2.3): a GCN_DEEP_DIVER-style model emits diver_num score heads;
+  `solve_mwis_iterative` runs a best-solution-first tree search — each head
+  proposes a greedy schedule on head-weighted utilities, partial states are
+  queued with probability backoff_prob (runtime_config.py:19), and the best
+  complete IS wins. The original module is absent from the reference tree;
+  this follows the visible call sites (`wireless_rollout_test*.py:37-43`,
+  `bsf_q` machinery in `mwis_dqn_test.py:59-135`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from distgcn_tpu.agents import DQNAgent, MWISSolver
+from distgcn_tpu.core.graph import GraphBatch
+from distgcn_tpu.ops.lgs import batched_lgs
+from distgcn_tpu.utils.config import Config
+
+
+class LegacyDQNAgent(DQNAgent):
+    """mwis_dqn_call.py DQNAgent semantics."""
+
+    def __init__(self, flags: Config, memory_size: int = 5000, seed: int = 0):
+        super().__init__(flags, memory_size, model_family="gcn_dqn",
+                         seed=seed)
+        self.feature_mode = "dqn"      # wts/||wts|| features (row-normalized)
+        self.trainer.style = "dqn"     # assignment targets, no standardization
+
+    def act(self, state, train: bool = False):
+        act_values, action = self.predict(state)
+        if train and self._rng.random() <= self.epsilon:
+            # legacy DQN randomizes the score vector itself
+            # (mwis_dqn_call.py:226-228)
+            act_values = self._rng.uniform(size=act_values.shape)
+        return act_values, action
+
+    def replay(self, batch_size: int):
+        """mwis_dqn_call.py:151-186: no target net sync, memory retained."""
+        import random as _random
+        if len(self.memory) < batch_size:
+            return None
+        minibatch = _random.sample(list(self.memory), batch_size)
+        loss = self.trainer.train_minibatch(minibatch)
+        if self.epsilon > self.epsilon_min:
+            self.epsilon *= self.epsilon_decay
+        return loss
+
+
+class MLPAgent(DQNAgent):
+    """mwis_mlp_call.py: MLP2 Q-net over degree features (graph-blind)."""
+
+    def __init__(self, flags: Config, memory_size: int = 5000, seed: int = 0):
+        super().__init__(flags, memory_size, model_family="mlp2", seed=seed)
+
+    def _init_params(self, key):
+        n0 = self.flags.pad_to
+        self.params = self.model.init(
+            key, jnp.zeros((1, n0, self.flags.feature_size)))["params"]
+
+    def makestate(self, adj, wts_nn) -> dict:
+        adj = sp.csr_matrix(adj)
+        n = adj.shape[0]
+        deg = np.asarray((adj != 0).sum(axis=1)).flatten().astype(np.float32)
+        feats = np.repeat(deg[:, None], self.flags.feature_size, axis=1)
+        norm = feats.max() + 1e-9
+        feats = feats / norm
+        bucket = max(self.flags.pad_to,
+                     -(-n // self.flags.pad_to) * self.flags.pad_to)
+        padded = np.zeros((1, bucket, self.flags.feature_size), np.float32)
+        padded[0, :n] = feats
+        gb = GraphBatch.single(adj, np.asarray(wts_nn).flatten(),
+                               pad_to=bucket)
+        return {"graph": gb, "features": jnp.asarray(padded),
+                "supports": None,
+                "wts": np.asarray(wts_nn, dtype=np.float32).flatten(),
+                "adj": adj}
+
+    def _model_init_args(self, n0):
+        return (jnp.zeros((1, n0, self.flags.feature_size)),)
+
+    def predict(self, state):
+        gb: GraphBatch = state["graph"]
+        out = self._mlp_forward(self.params, state["features"], gb.mask)
+        n = int(gb.nn[0])
+        act_values = np.asarray(out[0, :n, :])
+        return act_values, np.argmax(act_values, axis=0)
+
+    @property
+    def _mlp_forward(self):
+        if not hasattr(self, "_mlp_fwd"):
+            model = self.model
+
+            @jax.jit
+            def fwd(params, features, mask):
+                out = model.apply({"params": params}, features)
+                return out * mask[..., None]
+
+            self._mlp_fwd = fwd
+        return self._mlp_fwd
+
+
+class DiverAgent(MWISSolver):
+    """Diverse-head tree-search agent (re-spec of mwis_rollout_call)."""
+
+    def __init__(self, flags: Config, memory_size: int = 5000, seed: int = 0):
+        # deep_diver model emits 2*diver_num logits (diver_num 2-class heads)
+        super().__init__(flags, memory_size, model_family="deep_diver",
+                         seed=seed)
+
+    def head_scores(self, state) -> np.ndarray:
+        """Per-head node scores: softmax over each head's 2 logits, take the
+        'in-IS' class probability (GCN_DEEP_DIVER semantics,
+        gcn/models.py:327-361). Returns [N, diver_num]."""
+        gb = state["graph"]
+        out = self._forward_fn(self.params, state["features"],
+                               state["supports"], gb.mask)
+        n = int(gb.nn[0])
+        logits = np.asarray(out[0, :n, :])              # [N, 2*diver]
+        d = self.flags.diver_num
+        pos = logits[:, d:] if logits.shape[1] >= 2 * d else logits
+        neg = logits[:, :d]
+        z = np.exp(pos - np.maximum(pos, neg))
+        zn = np.exp(neg - np.maximum(pos, neg))
+        return z / (z + zn)
+
+    def solve_mwis_iterative(self, adj_0, wts_0, train: bool = False,
+                             grd: float = 1.0) -> Tuple[set, float]:
+        """Best-solution-first search over diver heads with backoff queue."""
+        adj = sp.csr_matrix(adj_0)
+        wts = np.asarray(wts_0, dtype=np.float64).flatten()
+        n = wts.size
+        state = self.makestate(adj, wts.reshape(-1, 1))
+        probs = self.head_scores(state)                 # [N, D]
+        d = probs.shape[1]
+        # evaluate every head's guided LGS on device in one batch
+        gb = state["graph"]
+        padded = np.zeros((d, gb.pad_n), dtype=np.float32)
+        for k in range(d):
+            padded[k, :n] = probs[:, k] * wts
+        adj_rep = jnp.broadcast_to(gb.adj, (d,) + gb.adj.shape[1:])
+        mask_rep = jnp.broadcast_to(gb.mask, (d, gb.pad_n))
+        sel, _, _ = batched_lgs(adj_rep, jnp.asarray(padded), mask_rep)
+        sel = np.asarray(sel)
+        best_set, best_util = set(), -np.inf
+        for k in range(d):
+            s = set(np.nonzero(sel[k, :n] == 1)[0].tolist())
+            u = float(wts[list(s)].sum()) if s else 0.0
+            if u > best_util:
+                best_util, best_set = u, s
+        # backoff exploration: with prob backoff_prob per extra pass, re-run
+        # the best head with its top node forced out (tree-search backoff)
+        rng = self._rng
+        passes = 0
+        while rng.random() < self.flags.backoff_prob and passes < 4:
+            passes += 1
+            if not best_set:
+                break
+            drop = max(best_set, key=lambda v: wts[v])
+            w2 = padded.copy()
+            w2[:, drop] = -1.0
+            sel2, _, _ = batched_lgs(adj_rep, jnp.asarray(w2), mask_rep)
+            sel2 = np.asarray(sel2)
+            for k in range(d):
+                s = set(np.nonzero(sel2[k, :n] == 1)[0].tolist())
+                u = float(wts[list(s)].sum()) if s else 0.0
+                if u > best_util:
+                    best_util, best_set = u, s
+        return best_set, best_util

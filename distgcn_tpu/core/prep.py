@@ -139,7 +139,8 @@ def simple_polynomials_dense(adj: jnp.ndarray, k: int) -> jnp.ndarray:
     lap = eye - normalize_adj_dense(adj)
     mats = [eye, lap]
     for _ in range(2, k + 1):
-        mats.append(jnp.matmul(mats[-1], lap))
+        mats.append(jnp.matmul(mats[-1], lap,
+                               precision=jax.lax.Precision.HIGHEST))
     return jnp.stack(mats[: k + 1], axis=-3)
 
 

@@ -62,10 +62,13 @@ class GraphConvolution(nn.Module):
         if self.dropout > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.dropout)(x, deterministic=False)
         outs = []
+        # Precision.HIGHEST: TPU MXU default truncates f32 operands to bf16,
+        # breaking activation parity with the TF1 reference (f32 everywhere).
+        hp = jax.lax.Precision.HIGHEST
         for k in range(self.num_supports):
             w = self.param(f"w_{k}", init, (fin, self.out_dim))
-            pre = jnp.matmul(x, w)                         # [B, N, Fout]
-            outs.append(jnp.matmul(supports[:, k], pre))   # [B, N, Fout]
+            pre = jnp.matmul(x, w, precision=hp)           # [B, N, Fout]
+            outs.append(jnp.matmul(supports[:, k], pre, precision=hp))
         out = sum(outs)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
@@ -85,7 +88,7 @@ class Dense(nn.Module):
         if self.dropout > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.dropout)(x, deterministic=False)
         w = self.param("weights", glorot_uniform, (x.shape[-1], self.out_dim))
-        out = jnp.matmul(x, w)
+        out = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.out_dim,))

@@ -17,7 +17,18 @@ don't fit:
   oracle).
 
 Blocks must be sorted by (row, col); `BsrMatrix.from_scipy` guarantees it.
+
+Runtime note: on the axon-tunneled TPU used for CI benches, Mosaic/Pallas
+kernels execute but their output buffers cannot be fetched (experimental
+runtime limitation — verified with a minimal doubling kernel). `spmm`
+therefore dispatches to the XLA ELL path unless DISTGCN_ENABLE_PALLAS=1;
+the Pallas kernel is validated in interpret mode and intended for directly
+attached TPUs.
 """
+
+import os
+
+PALLAS_ENABLED = os.environ.get("DISTGCN_ENABLE_PALLAS", "0") == "1"
 
 from __future__ import annotations
 
@@ -90,8 +101,11 @@ def _spmm_kernel(blk_rows_ref, blk_cols_ref, vals_ref, x_ref, o_ref):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    # Precision.HIGHEST: the TPU MXU default truncates f32 inputs to bf16
+    # (measured ~1e-2 abs error on O(1) values); full f32 needs 3-pass mode.
     o_ref[...] += jnp.dot(vals_ref[0], x_ref[...],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "block_size",
@@ -161,3 +175,22 @@ def ell_spmm(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray
              ) -> jnp.ndarray:
     """y[i] = sum_k vals[i,k] * x[cols[i,k]] — gather-based SpMM."""
     return jnp.einsum("nk,nkf->nf", vals, x[cols])
+
+
+class SparseSupport:
+    """Dispatching sparse support matrix: Pallas BSR on directly-attached
+    TPUs (DISTGCN_ENABLE_PALLAS=1), XLA ELL gather otherwise."""
+
+    def __init__(self, s: sp.spmatrix, block_size: int = 128):
+        self.use_pallas = PALLAS_ENABLED
+        if self.use_pallas:
+            self.bsr = BsrMatrix.from_scipy(s, block_size)
+        cols, vals = ell_pack(s)
+        self.cols = jnp.asarray(cols)
+        self.vals = jnp.asarray(vals)
+        self.n = s.shape[0]
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            return bsr_spmm_pallas(self.bsr, x)[: self.n]
+        return ell_spmm(self.cols, self.vals, x[: self.n])

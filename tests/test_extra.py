@@ -1,0 +1,129 @@
+"""Tests: extra agent families, LP relaxations, CLI drivers."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import random_graph
+from distgcn_tpu.agents_extra import DiverAgent, LegacyDQNAgent, MLPAgent
+from distgcn_tpu.solvers import relax
+from distgcn_tpu.solvers.greedy import greedy_search
+from distgcn_tpu.utils.config import Config
+
+
+def small_cfg(**kw):
+    base = dict(feature_size=1, hidden1=8, num_layer=1, diver_num=1,
+                max_degree=1, predict="mwis", epsilon=0.0, pad_to=64,
+                learning_rate=1e-3)
+    base.update(kw)
+    return Config(**base)
+
+
+def check_is(adj, sel):
+    adj = sp.csr_matrix(adj)
+    ss = sorted(sel)
+    for v in ss:
+        assert not (set(adj.indices[adj.indptr[v]: adj.indptr[v + 1]]) &
+                    set(ss))
+
+
+def test_legacy_dqn_agent_replay_keeps_memory(rng):
+    agent = LegacyDQNAgent(small_cfg(epsilon=0.3))
+    a = random_graph(rng, 40, 0.1)
+    w = rng.random(40)
+    for _ in range(6):
+        agent.solve_mwis(a, w, train=True, grd=1.0)
+    loss = agent.replay(6)
+    assert loss is not None and np.isfinite(loss)
+    assert len(agent.memory) == 6   # retained (mwis_dqn_call.py:151-186)
+
+
+def test_mlp_agent_solves(rng):
+    agent = MLPAgent(small_cfg(num_layer=3))
+    a = random_graph(rng, 40, 0.1)
+    w = rng.random(40)
+    mwis, util = agent.solve_mwis(a, w)
+    check_is(a, mwis)
+    assert util > 0
+
+
+def test_diver_agent_iterative(rng):
+    agent = DiverAgent(small_cfg(num_layer=3, diver_num=4, backoff_prob=0.9))
+    a = random_graph(rng, 40, 0.12)
+    w = rng.random(40)
+    mwis, util = agent.solve_mwis_iterative(a, w)
+    check_is(a, mwis)
+    assert util > 0
+
+
+def test_lp_edge_relax_bounds(rng):
+    a = random_graph(rng, 40, 0.1)
+    w = rng.random(40)
+    x = relax.mwis_lp_edge_relax(a, w)
+    assert x is not None
+    lp_val = float(w @ x)
+    _, gval = greedy_search(a, w)
+    assert lp_val >= gval - 1e-6          # LP upper-bounds the IP
+    # half-integrality of the edge LP
+    frac = x[(x > 1e-6) & (x < 1 - 1e-6)]
+    assert np.allclose(frac, 0.5, atol=1e-6)
+
+
+def test_lp_clique_relax_tighter_than_edge(rng):
+    a = random_graph(rng, 35, 0.15)
+    w = rng.random(35)
+    xe = relax.mwis_lp_edge_relax(a, w)
+    xc = relax.mwis_lp_clique_relax(a, w)
+    assert float(w @ xc) <= float(w @ xe) + 1e-6
+
+
+def test_mp_greedy_valid(rng):
+    a = random_graph(rng, 50, 0.1)
+    w = rng.random(50)
+    sel, util = relax.mp_greedy(a, w)
+    check_is(a, sel)
+    assert util > 0
+
+
+def test_lp_edge_dual_covers(rng):
+    a = random_graph(rng, 30, 0.15)
+    w = rng.random(30)
+    # ensure no isolated nodes (dual needs at least one edge each)
+    keep = np.asarray(a.sum(1)).flatten() > 0
+    idx = np.nonzero(keep)[0]
+    a2 = sp.csr_matrix(a.toarray()[np.ix_(idx, idx)])
+    w2 = w[idx]
+    prices = relax.mwis_lp_edge_dual(a2, w2)
+    row_sum = np.asarray(prices.sum(axis=1)).flatten()
+    assert (row_sum >= w2 - 1e-6).all()
+
+
+def test_gen_data_cli(tmp_path):
+    from distgcn_tpu.cli.gen_data import main
+    n = main([f"--datapath={tmp_path}/g", "--type=ER", "--sizes=20",
+              "--ps=0.2", "--n=3", "--seed=1"])
+    assert n == 3
+    files = os.listdir(f"{tmp_path}/g")
+    assert len(files) == 3 and all(f.endswith("_uni.mat") for f in files)
+    from distgcn_tpu.data.matio import load_mat, extract_n
+    inst = load_mat(os.path.join(f"{tmp_path}/g", files[0]))
+    assert inst.mwis_utility >= inst.greedy_utility - 1e-9
+    assert extract_n(files[0]) == 20
+
+
+def test_benchmark_solver_cli(tmp_path, rng):
+    from distgcn_tpu.cli.gen_data import main as gen
+    from distgcn_tpu.cli.benchmark_solver import main as bench
+    gen([f"--datapath={tmp_path}/g", "--type=ER", "--sizes=25", "--ps=0.15",
+         "--n=3", "--seed=2", "--no_label"])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        df = bench([f"--datapath={tmp_path}/g", "--solver=optimal",
+                    "--timeout=5"])
+    finally:
+        os.chdir(cwd)
+    assert (df["p"] >= 1.0 - 1e-9).all()  # optimal >= greedy
+    assert (df["status"] == "Optimal").all()
