@@ -1,0 +1,11 @@
+#!/bin/bash
+# Staged-epsilon 20-layer DQN training (reference bash/train_gcn_dqn.sh):
+# epsilon in {0.2, 0.1, 0.05} with annealed learning rate.
+set -e
+common="--epsilon_min=0.002 --feature_size=1 --diver_num=1 \
+  --datapath=./data/ER_Graph_Uniform_mixN_mixp_train1 \
+  --test_datapath=./data/ER_Graph_Uniform_GEN21_test1 \
+  --max_degree=1 --predict=mwis --hidden1=32 --num_layer=20"
+python3 -m distgcn_tpu.cli.train_dqn $common --epsilon=0.2 --learning_rate=0.00001   --epochs=5
+python3 -m distgcn_tpu.cli.train_dqn $common --epsilon=0.1 --learning_rate=0.000001  --epochs=5
+python3 -m distgcn_tpu.cli.train_dqn $common --epsilon=0.05 --learning_rate=0.0000001 --epochs=10
