@@ -109,3 +109,24 @@ def test_run_instance_with_agent(gdict):
     assert set(metrics) == {"Greedy", "DGCN-LGS"}
     for m in metrics.values():
         assert np.isfinite(m["avg_queue_len"])
+
+
+def test_run_instance_multichannel_seq(gdict, rng):
+    """3-channel product graph with the sequential LGS-Seq algorithm
+    (wireless_dqn_test_mc.py:292-312)."""
+    adj_c, graphs = wireless.poisson_multigraphs_from_dict(
+        gdict, k=3, p=0.8, rng=rng)
+    adj_list, adj_gk = wireless.multichannel_conflict_graph(graphs)
+    nflows = graphs[0].shape[0]
+    if nflows == 0:
+        pytest.skip("degenerate instance")
+    params = SimParams(timeslots=10, n_ch=3, wt_sel="qr", benchmark="greedy")
+    metrics = run_instance(adj_gk, nflows, 0.4, 3, ["LGS-Seq", "Greedy"],
+                           params, adj_list=adj_list)
+    for algo, m in metrics.items():
+        assert np.isfinite(m["avg_queue_len"]), algo
+    # scheduling across 3 channels must drain at least as fast as 1 channel
+    p1 = SimParams(timeslots=10, n_ch=1, wt_sel="qr", benchmark="greedy")
+    m1 = run_instance(graphs[0], nflows, 0.4, 3, ["Greedy"], p1)
+    assert metrics["Greedy"]["avg_queue_len"] <= \
+        m1["Greedy"]["avg_queue_len"] + 1e-6
