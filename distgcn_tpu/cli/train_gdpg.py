@@ -35,7 +35,13 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
     extra.add_argument("--model_root", default="./model")
     extra.add_argument("--replay_every", type=int, default=200)
     extra.add_argument("--replay_batch", type=int, default=200)
+    extra.add_argument("--device_batch", type=int, default=0,
+                       help=">0: TPU-native batched training — solve "
+                            "device_batch graphs per launch instead of the "
+                            "reference's one-graph-at-a-time loop")
     ns, _ = extra.parse_known_args(argv)
+    if ns.device_batch > 0:
+        return main_batched(cfg, ns, agent, max_graphs_per_epoch)
 
     model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     if agent is None:
@@ -92,6 +98,113 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
                   f"Loss: {loss:.6f} runtime: {runtime:.3f} "
                   f"mem_val: {np.nanmean(agent.reward_mem):.3f}")
             p_ratios = []
+        loss_vec.append(np.mean(losses) if losses else np.nan)
+        if epoch + 1 in epsilon_reset:
+            epsilon_val *= 0.2
+            agent.epsilon = epsilon_val
+    print(loss_vec)
+    return best_ratio
+
+
+
+
+def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
+    """TPU-native batched GDPG training.
+
+    Identical learning semantics to the reference loop — per-graph reward =
+    LGS(gcn weights)/greedy, memorize, replay every `replay_every` graphs
+    with test-gated checkpoints — but graphs are solved `device_batch` at a
+    time through the fused pipeline (one launch per block instead of several
+    per graph), and the greedy baseline comes from the same launch.
+    """
+    import jax
+    import jax.numpy as jnp
+    from distgcn_tpu.agents import DQNAgent
+    from distgcn_tpu.core.graph import GraphBatch
+    from distgcn_tpu.pipeline import make_solve_pipeline, BatchedEvaluator
+
+    model_origin = find_model_folder(cfg, "dqn", ns.model_root)
+    if agent is None:
+        agent = DQNAgent(cfg, model_family="gcn2_dqn")
+    agent.load(model_origin)
+    pipe = make_solve_pipeline(agent.model, cfg, agent.feature_mode)
+    ev = BatchedEvaluator(agent, batch_size=max(ns.device_batch, 32))
+
+    train_files = list_dataset(cfg.datapath)
+    test_insts = [load_mat(os.path.join(cfg.test_datapath, f))
+                  for f in list_dataset(cfg.test_datapath)]
+    test_pairs = [(i.adj, i.weights) for i in test_insts]
+
+    # preload adjacencies once (weights are re-randomized per epoch anyway)
+    adjs = [load_mat(os.path.join(cfg.datapath, f)).adj for f in train_files]
+
+    rng = np.random.default_rng(cfg.seed)
+    epsilon_reset = {5, 10, 15, 20}
+    epsilon_val = 1.0
+    best_ratio = 0.55
+    bs = ns.device_batch
+    loss_vec = []
+    for epoch in range(cfg.epochs):
+        order = rng.permutation(len(adjs))
+        if max_graphs_per_epoch:
+            order = order[:max_graphs_per_epoch]
+        losses, p_ratios = [], []
+        done = 0
+        newtime = time.time()
+        for start in range(0, len(order), bs):
+            idx = order[start: start + bs]
+            batch_adjs = [adjs[i] for i in idx]
+            batch_wts = [rng.uniform(0, 1, size=a.shape[0])
+                         for a in batch_adjs]
+            n_max = max(a.shape[0] for a in batch_adjs)
+            pad = -(-n_max // cfg.pad_to) * cfg.pad_to
+            gb = GraphBatch.from_scipy(batch_adjs, batch_wts, pad_to=pad)
+            # one launch: GCN forward scores + LGS solve + greedy baseline
+            feats_fn = pipe
+            sel, util, gutil = feats_fn(agent.params, gb.adj, gb.wts, gb.mask)
+            # act_vals needed for targets: recompute scores on host side of
+            # the same forward (cheap second launch, still batched)
+            from distgcn_tpu.agents import build_state_arrays
+            features, supports = build_state_arrays(
+                gb.adj, gb.wts, gb.mask, cfg.feature_size, cfg.max_degree,
+                cfg.predict, agent.feature_mode)
+            acts = agent._forward_fn(agent.params, features, supports,
+                                     gb.mask)
+            sel_h = np.asarray(sel)
+            util_h = np.asarray(util)
+            gutil_h = np.asarray(gutil)
+            acts_h = np.asarray(acts)
+            for j, gi in enumerate(idx):
+                n = batch_adjs[j].shape[0]
+                reward = util_h[j] / (gutil_h[j] + 1e-6)
+                solution = np.nonzero(sel_h[j, :n] == 1)[0].tolist()
+                state = {"adj": batch_adjs[j],
+                         "wts": batch_wts[j].astype(np.float32)}
+                agent.memory.append((state, acts_h[j, :n, :].copy(),
+                                     solution, {}, float(reward)))
+                agent.reward_mem.append(float(reward))
+                p_ratios.append(float(reward))
+            done += len(idx)
+            if done >= ns.replay_every:
+                done = 0
+                runtime = time.time() - newtime
+                newtime = time.time()
+                utils_t, gutils_t = ev.evaluate(test_pairs)
+                test_ratio = float(np.mean(utils_t / np.maximum(gutils_t,
+                                                                1e-9)))
+                if test_ratio > best_ratio:
+                    agent.save(model_origin)
+                    best_ratio = test_ratio
+                loss = agent.replay(min(ns.replay_batch, len(agent.memory)))
+                loss = 1.0 if loss is None else loss
+                losses.append(loss)
+                print(f"Epoch: {epoch} Train_Ratio: {np.mean(p_ratios):.6f} "
+                      f"Epsilon: {agent.epsilon:.6f} "
+                      f"Test_Ratio: {test_ratio:.6f} Loss: {loss:.6f} "
+                      f"runtime: {runtime:.3f} "
+                      f"mem_val: {np.nanmean(agent.reward_mem):.3f}",
+                      flush=True)
+                p_ratios = []
         loss_vec.append(np.mean(losses) if losses else np.nan)
         if epoch + 1 in epsilon_reset:
             epsilon_val *= 0.2
