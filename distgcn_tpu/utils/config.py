@@ -87,6 +87,11 @@ class Config:
             else:
                 parser.add_argument(f"--{f.name}", type=type(default), default=default)
         ns, _ = parser.parse_known_args(argv)
+        # every CLI driver funnels through here — warm the persistent XLA
+        # compilation cache so repeat invocations skip the per-bucket
+        # compiles (dominant cold-start cost on the tunneled TPU)
+        from distgcn_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         return cls(**vars(ns))
 
 
