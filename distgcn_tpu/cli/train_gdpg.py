@@ -130,13 +130,16 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
     pipe = make_solve_pipeline(agent.model, cfg, agent.feature_mode)
     ev = BatchedEvaluator(agent, batch_size=max(ns.device_batch, 32))
 
-    train_files = list_dataset(cfg.datapath)
-    test_insts = [load_mat(os.path.join(cfg.test_datapath, f))
-                  for f in list_dataset(cfg.test_datapath)]
+    from distgcn_tpu.data.matio import load_dataset_cached
+    test_insts = load_dataset_cached(cfg.test_datapath)
     test_pairs = [(i.adj, i.weights) for i in test_insts]
 
-    # preload adjacencies once (weights are re-randomized per epoch anyway)
-    adjs = [load_mat(os.path.join(cfg.datapath, f)).adj for f in train_files]
+    # preload adjacencies once (weights are re-randomized per epoch anyway);
+    # the pack cache turns the 5970-file scipy.io sweep into a ~1s load
+    t0 = time.time()
+    adjs = [inst.adj for inst in load_dataset_cached(cfg.datapath)]
+    print(f"loaded {len(adjs)} train + {len(test_insts)} test graphs "
+          f"in {time.time() - t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(cfg.seed)
     epsilon_reset = {5, 10, 15, 20}
@@ -162,6 +165,10 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
             # one launch: GCN forward scores + LGS solve + greedy baseline
             feats_fn = pipe
             sel, util, gutil = feats_fn(agent.params, gb.adj, gb.wts, gb.mask)
+            if epoch == 0 and start == 0:
+                print(f"first batch solved (pad {pad}) "
+                      f"{time.time() - newtime:.1f}s after epoch start",
+                      flush=True)
             # act_vals needed for targets: recompute scores on host side of
             # the same forward (cheap second launch, still batched)
             from distgcn_tpu.agents import build_state_arrays
