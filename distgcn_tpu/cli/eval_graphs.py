@@ -43,11 +43,8 @@ def main(argv=None):
     if not agent.load(model_origin):
         print(f"Unable to load {model_origin}")
 
-    files = list_dataset(cfg.datapath)
-    insts = []
-    for f in files:
-        inst = load_mat(os.path.join(cfg.datapath, f))
-        insts.append(inst)
+    from distgcn_tpu.data.matio import load_dataset_cached
+    insts = load_dataset_cached(cfg.datapath)
 
     ev = BatchedEvaluator(agent, batch_size=cfg.batch_size)
     t0 = time.time()

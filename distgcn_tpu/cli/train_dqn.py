@@ -41,9 +41,10 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
         agent = LegacyDQNAgent(cfg)
     agent.load(model_origin)
 
+    from distgcn_tpu.data.matio import load_dataset_cached
     train_files = list_dataset(cfg.datapath)
-    test_insts = [load_mat(os.path.join(cfg.test_datapath, f))
-                  for f in list_dataset(cfg.test_datapath)]
+    train_insts = load_dataset_cached(cfg.datapath)
+    test_insts = load_dataset_cached(cfg.test_datapath)
 
     rng = np.random.default_rng(cfg.seed)
     best_ratio = 0.55
@@ -56,7 +57,7 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
         if max_graphs_per_epoch:
             order = order[:max_graphs_per_epoch]
         for gid in order:
-            inst = load_mat(os.path.join(cfg.datapath, train_files[gid]))
+            inst = train_insts[gid]
             wts = inst.weights.reshape(-1, 1)
             if ns.redraw_weights:
                 wts = rng.uniform(0, 1, size=(inst.num_nodes, 1))
