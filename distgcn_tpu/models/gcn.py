@@ -52,6 +52,7 @@ class ChebGCN(nn.Module):
     use_bias: bool = False
     wts_init: str = "random"
     dropout: float = 0.0
+    identity_first: bool = True   # see GraphConvolution.identity_first
 
     @nn.compact
     def __call__(self, x, supports, mask=None, deterministic: bool = True):
@@ -61,21 +62,25 @@ class ChebGCN(nn.Module):
             out = GraphConvolution(
                 self.out_dim, self.num_supports, act=final_act,
                 use_bias=self.use_bias, wts_init=self.wts_init,
+                identity_first=self.identity_first,
                 dropout=self.dropout, name="gc1")(x, supports, deterministic)
         else:
             h = GraphConvolution(
                 self.hidden_dim, self.num_supports, act=self.hidden_act,
                 use_bias=self.use_bias, wts_init=self.wts_init,
+                identity_first=self.identity_first,
                 dropout=self.dropout, name="gc1")(x, supports, deterministic)
             for i in range(self.num_layer - 2):
                 h = GraphConvolution(
                     self.hidden_dim, self.num_supports, act=self.hidden_act,
                     use_bias=self.use_bias, wts_init=self.wts_init,
+                    identity_first=self.identity_first,
                     dropout=self.dropout,
                     name=f"gc{i + 2}")(h, supports, deterministic)
             out = GraphConvolution(
                 self.out_dim, self.num_supports, act=final_act,
                 use_bias=self.use_bias, wts_init=self.wts_init,
+                identity_first=self.identity_first,
                 dropout=self.dropout,
                 name=f"gc{self.num_layer}")(h, supports, deterministic)
         if mask is not None:

@@ -54,6 +54,11 @@ class GraphConvolution(nn.Module):
     use_bias: bool = False
     wts_init: str = "random"      # 'random' | 'zeros'
     dropout: float = 0.0
+    # Every support builder (simple/chebyshev/plain polynomials,
+    # gcn/utils.py:258-340) emits S0 = I, so S0 @ pre == pre exactly; skipping
+    # that dense matmul halves the per-layer HBM support traffic, the dominant
+    # cost of the deep streaming path. Disable for exotic support stacks.
+    identity_first: bool = True
 
     @nn.compact
     def __call__(self, x, supports, deterministic: bool = True):
@@ -68,7 +73,10 @@ class GraphConvolution(nn.Module):
         for k in range(self.num_supports):
             w = self.param(f"w_{k}", init, (fin, self.out_dim))
             pre = jnp.matmul(x, w, precision=hp)           # [B, N, Fout]
-            outs.append(jnp.matmul(supports[:, k], pre, precision=hp))
+            if k == 0 and self.identity_first:
+                outs.append(pre)
+            else:
+                outs.append(jnp.matmul(supports[:, k], pre, precision=hp))
         out = sum(outs)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
