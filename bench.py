@@ -99,20 +99,25 @@ def main():
     rng = np.random.default_rng(0)
     instances = build_workload(256, rng)
     pipe = make_solve_pipeline(agent.model, cfg, agent.feature_mode)
+    # production scheduling emits only the schedule — no per-slot greedy
+    # baseline sweep (the reference's wireless loop likewise runs one
+    # algorithm per slot, wireless_dqn_test.py:232-283)
+    pipe_stream = make_solve_pipeline(agent.model, cfg, agent.feature_mode,
+                                      with_baseline=False)
 
     # --- steady-state streaming workload (graphs resident, weights change)
     chunk = instances[:128]
     gb = GraphBatch.from_scipy([a for a, _ in chunk], [w for _, w in chunk],
                                pad_to=256)
     b, n = gb.wts.shape
-    out = pipe(agent.params, gb.adj, gb.wts, gb.mask)
+    out = pipe_stream(agent.params, gb.adj, gb.wts, gb.mask)
     out[1].block_until_ready()  # compile
     mask_host = np.asarray(gb.mask)  # hoisted: no device->host sync in loop
     iters = 100
     t0 = time.perf_counter()
     for _ in range(iters):
         wh = (rng.random((b, n)) * mask_host).astype(np.float32)
-        out = pipe(agent.params, gb.adj, jnp.asarray(wh), gb.mask)
+        out = pipe_stream(agent.params, gb.adj, jnp.asarray(wh), gb.mask)
     out[1].block_until_ready()
     stream_gps = iters * b / (time.perf_counter() - t0)
 

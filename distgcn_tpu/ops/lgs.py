@@ -37,25 +37,29 @@ NEG = -jnp.inf
 BIG_ID = jnp.iinfo(jnp.int32).max
 
 
-def _round(adj: jnp.ndarray, wts: jnp.ndarray, sel: jnp.ndarray
+def _round(adjb: jnp.ndarray, wts: jnp.ndarray, sel: jnp.ndarray
            ) -> jnp.ndarray:
     """One synchronized LGS round on a batch.
 
-    adj: [B, N, N] 0/1; wts: [B, N]; sel: [B, N] int8 in {-1, 0, 1}.
-    Returns updated sel.
+    adjb: [B, N, N] bool; wts: [B, N]; sel: [B, N] int8 in {-1, 0, 1}.
+    Returns updated sel. Takes the PRE-BOOLEANIZED adjacency: while_loop
+    bodies are not loop-invariant-hoisted by XLA, so converting f32->pred
+    inside the round would re-read the 4-byte adjacency every round; the
+    callers convert once before the loop and each round streams 1-byte
+    predicates instead.
     """
     remain = sel == -1                                     # [B, N]
     # adjacency restricted to remaining columns
-    nbr = (adj > 0) & remain[:, None, :]                   # [B, N, N]
+    nbr = adjb & remain[:, None, :]                        # [B, N, N]
     nbr_w = jnp.where(nbr, wts[:, None, :], NEG)
     m = jnp.max(nbr_w, axis=-1)                            # [B, N]
     has_nbr = jnp.any(nbr, axis=-1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, adj.shape[:2], 1)  # [B, N]
+    ids = jax.lax.broadcasted_iota(jnp.int32, adjb.shape[:2], 1)  # [B, N]
     tied = nbr & (wts[:, None, :] == m[:, :, None])
     tied_min = jnp.min(jnp.where(tied, ids[:, None, :], BIG_ID), axis=-1)
     win = remain & (~has_nbr | (wts > m) | ((wts == m) & (ids < tied_min)))
     # exclude remaining neighbors of winners
-    excl = remain & ~win & jnp.any((adj > 0) & win[:, None, :], axis=-1)
+    excl = remain & ~win & jnp.any(adjb & win[:, None, :], axis=-1)
     sel = jnp.where(win, jnp.int8(1), sel)
     sel = jnp.where(excl, jnp.int8(0), sel)
     return sel
@@ -82,6 +86,7 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
     b, n = wts.shape
     sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
     cap = n if max_rounds is None else int(max_rounds)
+    adjb = adj > 0   # boolean once, outside the loop (see _round docstring)
 
     def cond(state):
         sel, r = state
@@ -89,7 +94,7 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
 
     def body(state):
         sel, r = state
-        return _round(adj, wts, sel), r + 1
+        return _round(adjb, wts, sel), r + 1
 
     sel, rounds = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
     util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
@@ -111,6 +116,7 @@ def lgs_round_counts(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray
     """
     b, n = wts.shape
     sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+    adjb = adj > 0
 
     def cond(state):
         sel, r, p2p, bst = state
@@ -119,11 +125,11 @@ def lgs_round_counts(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray
     def body(state):
         sel, r, p2p, bst = state
         remain = sel == -1
-        deg = jnp.sum((adj > 0) & remain[:, None, :] & remain[:, :, None],
+        deg = jnp.sum(adjb & remain[:, None, :] & remain[:, :, None],
                       axis=(-1,))
         p2p = p2p + jnp.sum(deg * remain, axis=-1).astype(jnp.int32)
         bst = bst + jnp.sum(remain, axis=-1).astype(jnp.int32)
-        return _round(adj, wts, sel), r + 1, p2p, bst
+        return _round(adjb, wts, sel), r + 1, p2p, bst
 
     z = jnp.zeros((b,), jnp.int32)
     sel, rounds, p2p, bst = jax.lax.while_loop(

@@ -24,9 +24,16 @@ from distgcn_tpu.solvers.greedy import greedy_search
 from distgcn_tpu.utils.config import Config
 
 
-def make_solve_pipeline(model, flags: Config, feature_mode: str = "gdpg"):
+def make_solve_pipeline(model, flags: Config, feature_mode: str = "gdpg",
+                        with_baseline: bool = True):
     """Returns jitted solve(params, adj, wts, mask) ->
-    (sel [B,N] int8, util [B], gcn_util_ratio-ready greedy util [B])."""
+    (sel [B,N] int8, util [B], greedy-baseline util [B]).
+
+    with_baseline=False skips the second LGS sweep that computes the
+    greedy baseline (returned gutil is zeros then) — production
+    scheduling only needs the schedule, and the baseline sweep roughly
+    doubles the solver cost of the streaming path.
+    """
 
     @jax.jit
     def solve(params, adj, wts, mask):
@@ -38,6 +45,8 @@ def make_solve_pipeline(model, flags: Config, feature_mode: str = "gdpg"):
         gcn_wts = act * wts if flags.predict == "mwis" else act
         sel, _, _ = batched_lgs(adj, gcn_wts, mask)
         util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+        if not with_baseline:
+            return sel, util, jnp.zeros_like(util)
         # greedy baseline on the same device pass (greedy == LGS on raw w)
         gsel, gutil, _ = batched_lgs(adj, wts, mask)
         return sel, util, gutil

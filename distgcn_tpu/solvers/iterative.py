@@ -62,6 +62,7 @@ def _make_dit(model, flags, feature_mode):
     def run(params, adj, wts, mask):
         b, n = wts.shape
         sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+        adjb = adj > 0   # booleanize outside the loop (ops/lgs._round)
 
         def cond(state):
             sel, it = state
@@ -75,7 +76,7 @@ def _make_dit(model, flags, feature_mode):
             act, remain = _masked_forward(model, params, adj, wts, sel,
                                           mask, flags, feature_mode)
             gcn_wts = act * wts if flags.predict == "mwis" else act
-            sel = _round(adj, gcn_wts, sel)
+            sel = _round(adjb, gcn_wts, sel)
             return sel, it + 1
 
         sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
@@ -126,6 +127,8 @@ def _make_rollout(model, flags, feature_mode, b_branches: int):
         """LGS (== stable-tie-break greedy) restricted to `remain`; returns
         total original-weight utility of the evaluation solution."""
         sel = jnp.where(remain, jnp.int8(-1), jnp.int8(0))
+        adjb = adj > 0
+        wts_r = jnp.where(remain, wts, 0.0)   # loop-invariant
 
         def cond(state):
             s, it = state
@@ -133,7 +136,7 @@ def _make_rollout(model, flags, feature_mode, b_branches: int):
 
         def body(state):
             s, it = state
-            return _round(adj, jnp.where(remain, wts, 0.0), s), it + 1
+            return _round(adjb, wts_r, s), it + 1
 
         sel, _ = jax.lax.while_loop(cond, body, (sel, jnp.int32(0)))
         return jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
