@@ -35,13 +35,23 @@ def make_solve_pipeline(model, flags: Config, feature_mode: str = "gdpg",
     doubles the solver cost of the streaming path.
     """
 
+    bf16 = getattr(flags, "compute_dtype", "float32") == "bfloat16"
+
     @jax.jit
     def solve(params, adj, wts, mask):
         features, supports = build_state_arrays(
             adj, wts, mask, flags.feature_size, flags.max_degree,
             flags.predict, feature_mode)
+        if bf16:
+            # GCN scoring in bf16 (native MXU dtype, half the support HBM
+            # traffic); solver-side weight math stays f32 so LGS tie-breaks
+            # and utilities are unchanged.
+            features = features.astype(jnp.bfloat16)
+            supports = supports.astype(jnp.bfloat16)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params)
         out = model.apply({"params": params}, features, supports)
-        act = out[..., 0] * mask
+        act = out[..., 0].astype(wts.dtype) * mask
         gcn_wts = act * wts if flags.predict == "mwis" else act
         sel, _, _ = batched_lgs(adj, gcn_wts, mask)
         util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)

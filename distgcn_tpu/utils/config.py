@@ -64,6 +64,10 @@ class Config:
     # --- TPU-native additions (no reference counterpart) ---
     pad_to: int = 128            # node-count padding bucket (MXU tile multiple)
     batch_size: int = 64         # graphs per device batch
+    # 'float32' (parity: matches the TF1 reference bit-for-bit) or
+    # 'bfloat16' (streaming fast path: GCN scores in bf16 — halves support
+    # HBM traffic and doubles MXU rate; LGS always compares f32 weights)
+    compute_dtype: str = "float32"
     dtype: str = "float32"       # compute dtype for supports/features
     seed: int = 42
 

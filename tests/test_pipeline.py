@@ -88,3 +88,17 @@ def test_resident_path_zero_weights(rng):
     handle = agent.prepare(a)
     mwis, util = agent.solve_mwis_resident(handle, np.zeros(32))
     assert util == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bfloat16_mode_quality_close_to_f32(rng):
+    """compute_dtype='bfloat16' scores in bf16 but must keep LGS exactness
+    machinery (f32 weights) — mean utility within 0.5% of the f32 pipeline
+    (measured -0.001 on GEN21_test1 with reference checkpoints)."""
+    inst = _graphs(rng, k=10)
+    res = {}
+    for dt in ("float32", "bfloat16"):
+        agent = DQNAgent(small_cfg(compute_dtype=dt), model_family="gcn_dqn")
+        ev = BatchedEvaluator(agent, batch_size=5)
+        utils, gutils = ev.evaluate(inst)
+        res[dt] = np.sum(utils) / np.sum(gutils)
+    assert abs(res["bfloat16"] - res["float32"]) < 0.005
