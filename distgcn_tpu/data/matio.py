@@ -100,7 +100,7 @@ def _pack_path(datapath: str, files: List[str]) -> str:
         os.path.join(os.path.expanduser("~"), ".cache", "distgcn_packs"))
     total = sum(os.path.getsize(os.path.join(datapath, f)) for f in files)
     key = hashlib.sha1(
-        f"v2|{os.path.abspath(datapath)}|{len(files)}|{total}".encode()
+        f"v3|{os.path.abspath(datapath)}|{len(files)}|{total}".encode()
     ).hexdigest()[:16]
     return os.path.join(root, f"{key}.npz")
 
@@ -110,11 +110,12 @@ def pack_dataset(datapath: str, pack_file: Optional[str] = None) -> str:
     files = list_dataset(datapath)
     pack_file = pack_file or _pack_path(datapath, files)
     os.makedirs(os.path.dirname(pack_file), exist_ok=True)
-    indptrs, indices, wts = [], [], []
+    indptrs, indices, wts, labels = [], [], [], []
     offsets = np.zeros(len(files) + 1, dtype=np.int64)   # node offsets
     eoffsets = np.zeros(len(files) + 1, dtype=np.int64)  # nnz offsets
     gutil = np.full(len(files), np.nan)
     mutil = np.full(len(files), np.nan)
+    have_labels = True
     for i, f in enumerate(files):
         inst = load_mat(os.path.join(datapath, f))
         a = inst.adj.tocsr()
@@ -129,6 +130,11 @@ def pack_dataset(datapath: str, pack_file: Optional[str] = None) -> str:
             gutil[i] = inst.greedy_utility
         if inst.mwis_utility is not None:
             mutil[i] = inst.mwis_utility
+        if inst.mwis_label is None:
+            have_labels = False
+        elif have_labels:
+            labels.append(np.asarray(inst.mwis_label,
+                                     np.float32).flatten())
     np.savez_compressed(
         pack_file,
         names=np.asarray(files),
@@ -136,6 +142,8 @@ def pack_dataset(datapath: str, pack_file: Optional[str] = None) -> str:
         indptr=np.concatenate(indptrs) if indptrs else np.zeros(0, np.int64),
         indices=np.concatenate(indices) if indices else np.zeros(0, np.int32),
         weights=np.concatenate(wts) if wts else np.zeros(0, np.float32),
+        labels=(np.concatenate(labels) if have_labels and labels
+                else np.zeros(0, np.float32)),
         greedy_utility=gutil, mwis_utility=mutil)
     return pack_file
 
@@ -161,6 +169,8 @@ def load_dataset_cached(datapath: str) -> List[GraphInstance]:
     no, eo = z["node_offsets"], z["edge_offsets"]
     indptr, indices, weights = z["indptr"], z["indices"], z["weights"]
     gutil, mutil = z["greedy_utility"], z["mwis_utility"]
+    labels = z["labels"] if "labels" in z.files else np.zeros(0, np.float32)
+    have_labels = labels.size == no[-1]
     out = []
     for i, name in enumerate(names):
         n = int(no[i + 1] - no[i])
@@ -184,6 +194,8 @@ def load_dataset_cached(datapath: str) -> List[GraphInstance]:
         inst = GraphInstance(
             adj=adj, weights=weights[no[i]: no[i + 1]].astype(np.float64),
             name=name,
+            mwis_label=(labels[no[i]: no[i + 1]].copy() if have_labels
+                        else None),
             greedy_utility=None if np.isnan(gutil[i]) else float(gutil[i]),
             mwis_utility=None if np.isnan(mutil[i]) else float(mutil[i]))
         out.append(inst)

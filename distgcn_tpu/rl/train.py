@@ -135,3 +135,32 @@ class ReplayTrainer:
             jnp.asarray(maskf), jnp.asarray(labels))
         agent.params = params
         return float(loss)
+
+
+def make_supervised_diver_step(model, optimizer, diver_num: int):
+    """Jitted supervised step for GCN_DEEP_DIVER training: hindsight-min
+    weighted CE over the diver heads (gcn/models.py:327-334) on labeled
+    graphs (`mwis_label` field of the reference datasets).
+
+    Returns step(params, opt_state, features, supports, mask, labels01,
+    node_weights) -> (params, opt_state, loss).
+    """
+    from distgcn_tpu.rl.losses import hindsight_diver_ce
+
+    @jax.jit
+    def step(params, opt_state, features, supports, mask, labels01, node_w):
+        def loss_fn(p):
+            out = model.apply({"params": p}, features, supports, mask)
+            m = mask.astype(out.dtype)
+            # weight only real nodes; CE is node-weight-normalized
+            w = node_w * m
+            losses = jax.vmap(hindsight_diver_ce, in_axes=(0, 0, 0, None))(
+                out, labels01, w, diver_num)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

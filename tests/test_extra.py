@@ -127,3 +127,35 @@ def test_benchmark_solver_cli(tmp_path, rng):
         os.chdir(cwd)
     assert (df["p"] >= 1.0 - 1e-9).all()  # optimal >= greedy
     assert (df["status"] == "Optimal").all()
+
+
+def test_supervised_diver_training_improves_loss(tmp_path, rng):
+    """cli/train_diver: hindsight-CE supervised training on labeled data
+    runs end-to-end and the trained model's tree search stays valid."""
+    import jax
+    from distgcn_tpu.cli.train_diver import main as diver_main
+    from distgcn_tpu.data.matio import save_mat
+    from distgcn_tpu.solvers.greedy import greedy_search
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    for i in range(8):
+        n = 30
+        a = random_graph(rng, n, 0.15)
+        w = rng.random(n)
+        # label = greedy IS (a valid independent set)
+        sel, util = greedy_search(a, w)
+        lab = np.zeros(n)
+        lab[list(sel)] = 1.0
+        save_mat(str(d / f"ER_n{n}_p0.15_b{i}_uni.mat"), a, w,
+                 mwis_label=lab.reshape(1, -1),
+                 mwis_utility=np.array([[util]]),
+                 greedy_utility=np.array([[util]]))
+    best = diver_main([f"--datapath={d}", f"--test_datapath={d}",
+                       "--training_set=DIVUT", "--num_layer=3",
+                       "--hidden1=8", "--diver_num=2", "--feature_size=1",
+                       "--max_degree=1", "--predict=mwis", "--epochs=2",
+                       "--learning_rate=1e-3", "--epsilon=0",
+                       "--backoff_prob=0.0",
+                       f"--model_root={tmp_path / 'model'}"])
+    assert best > 0.5  # tree search finds real independent sets
