@@ -56,8 +56,11 @@ def main(argv=None):
             for i, inst in enumerate(insts)]
     results = pd.DataFrame(rows, columns=["data", "p"])
     os.makedirs(ns.output_dir, exist_ok=True)
+    # reference writes ./output/{model}.csv (mwis_dqn_test.py:348); we add
+    # the dataset name so sweeps over several test sets don't clobber
+    ds = os.path.basename(os.path.normpath(cfg.datapath))
     out_csv = os.path.join(ns.output_dir,
-                           model_origin.split("/")[-1] + ".csv")
+                           model_origin.split("/")[-1] + f"_{ds}.csv")
     results.to_csv(out_csv)
     print(f"instances: {len(insts)}  mean ratio vs greedy: "
           f"{np.mean(ratios):.6f}  runtime: {runtime:.2f}s "
