@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from distgcn_tpu.core.graph import GraphBatch, pad_bucket
 from distgcn_tpu.core import prep
-from distgcn_tpu.models.gcn import ChebGCN, make_model_from_config
+from distgcn_tpu.models.gcn import make_model_from_config
 from distgcn_tpu.ops.lgs import batched_lgs
 from distgcn_tpu.utils.config import Config
 

@@ -17,14 +17,13 @@ Usage:
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import numpy as np
 import pandas as pd
 
 from distgcn_tpu.agents import DQNAgent
-from distgcn_tpu.data.matio import load_mat, list_dataset
+from distgcn_tpu.data.matio import list_dataset
 from distgcn_tpu.pipeline import BatchedEvaluator
 from distgcn_tpu.utils.config import Config
 from distgcn_tpu.utils.directory import find_model_folder

@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 from distgcn_tpu.agents_extra import LegacyDQNAgent
-from distgcn_tpu.data.matio import load_mat, list_dataset
+from distgcn_tpu.data.matio import list_dataset
 from distgcn_tpu.solvers.greedy import greedy_search
 from distgcn_tpu.utils.config import Config
 from distgcn_tpu.utils.directory import find_model_folder

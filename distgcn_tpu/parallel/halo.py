@@ -26,8 +26,6 @@ distributed scheduling loop on a partitioned conflict graph.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,6 @@ reduction in a single `jit` — no host round-trips, one launch per batch.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np
@@ -20,7 +19,6 @@ import jax.numpy as jnp
 from distgcn_tpu.agents import build_state_arrays
 from distgcn_tpu.core.graph import GraphBatch, pad_bucket
 from distgcn_tpu.ops.lgs import batched_lgs
-from distgcn_tpu.solvers.greedy import greedy_search
 from distgcn_tpu.utils.config import Config
 
 

@@ -20,7 +20,6 @@ Target construction parity (mwis_gdpg_call.py:723-756):
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -30,7 +30,6 @@ utility bookkeeping ``util = dot(nIS_vec, w)`` with nIS_vec in {-1, 0, 1}
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np
@@ -39,7 +38,6 @@ import jax
 import jax.numpy as jnp
 
 from distgcn_tpu.agents import build_state_arrays
-from distgcn_tpu.core.graph import GraphBatch
 from distgcn_tpu.ops.lgs import _round
 
 NEG = -jnp.inf
