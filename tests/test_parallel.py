@@ -93,3 +93,56 @@ def test_sharded_lgs_matches_host(mesh8, rng):
 def test_mesh_construction():
     mesh = make_mesh(n_data=4, n_model=2)
     assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_sharded_train_step_matches_single_device(mesh8, rng):
+    """The 8-device data-parallel train step must produce the same loss and
+    updated params as running the identical jitted step on one device —
+    GSPMD sharding may not change the math."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distgcn_tpu.core.graph import GraphBatch
+    from distgcn_tpu.models.gcn import make_model_from_config
+    from distgcn_tpu.parallel.mesh import make_mesh, make_sharded_train_step
+    from distgcn_tpu.rl.train import make_optimizer
+    from distgcn_tpu.utils.config import Config
+
+    cfg = Config(feature_size=1, hidden1=8, num_layer=2, diver_num=1,
+                 max_degree=1, predict="mwis", pad_to=64,
+                 learning_rate=1e-3)
+    model = make_model_from_config(cfg, "gcn_dqn")
+    b, n = 8, 64
+    adjs, wtss = [], []
+    for _ in range(b):
+        a = random_graph(rng, 40, 0.1)
+        adjs.append(a)
+        wtss.append(rng.random(40))
+    gb = GraphBatch.from_scipy(adjs, wtss, pad_to=n)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, n, 1)), jnp.zeros((1, 2, n, n)))["params"]
+    optimizer = make_optimizer(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    labels = jnp.asarray(rng.random((b, n, 1)), jnp.float32)
+    maskf = gb.mask.astype(jnp.float32)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        step = make_sharded_train_step(model, cfg, optimizer, mesh)
+        bspec = NamedSharding(mesh, P("data"))
+        put = lambda x: jax.device_put(x, bspec)
+        p8, _, loss8 = step(params, opt_state, put(gb.adj), put(gb.wts),
+                            put(maskf), put(labels))
+
+    mesh1 = make_mesh(n_data=1, n_model=1)
+    with mesh1:
+        step1 = make_sharded_train_step(model, cfg, optimizer, mesh1)
+        p1, _, loss1 = step1(params, opt_state, gb.adj, gb.wts, maskf,
+                             labels)
+
+    assert float(loss8) == pytest.approx(float(loss1), rel=1e-5)
+    for k in p1:
+        for kk in p1[k]:
+            np.testing.assert_allclose(np.asarray(p8[k][kk]),
+                                       np.asarray(p1[k][kk]), atol=1e-6)
