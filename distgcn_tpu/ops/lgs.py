@@ -8,8 +8,11 @@ max-weight-tied neighbors (heuristics.py:106-111). Winners' neighbors are
 removed; repeat.
 
 That rule is exactly: v wins iff the lexicographic key ``(w_v, -v)`` strictly
-exceeds ``max`` over remaining neighbors' keys. Each round is therefore one
-masked neighbor-max — a dense [N, N] select+reduce on the VPU — and the whole
+exceeds ``max`` over remaining neighbors' keys. Keys are totally ordered, so
+we rank nodes once per solve (argsort by descending weight, stable = ties to
+the smaller id) and each round reduces to ONE masked neighbor-max over the
+integer ranks plus a winner-neighbor exclusion pass — no per-round tie
+machinery. Each round is dense [N, N] select+reduce on the VPU and the whole
 solver is a `lax.while_loop` over fixed-shape state: perfect for XLA/TPU, and
 batched over graphs for free.
 
@@ -37,11 +40,25 @@ NEG = -jnp.inf
 BIG_ID = jnp.iinfo(jnp.int32).max
 
 
-def _round(adjb: jnp.ndarray, wts: jnp.ndarray, sel: jnp.ndarray
+def lgs_ranks(wts: jnp.ndarray) -> jnp.ndarray:
+    """Total-order priority rank per node: rank[v] > rank[u] iff
+    (w_v, -v) > (w_u, -u) lexicographically (the heuristics.py:106-111
+    tie-break). Higher rank = scheduled earlier. [B, N] int32."""
+    n = wts.shape[-1]
+    # stable argsort of -w: descending weight, ties broken by ascending id;
+    # double argsort = inverse permutation, so inv[v] = v's position in that
+    # order and rank = n - inv is in [1, n] (all distinct)
+    order = jnp.argsort(-wts, axis=-1, stable=True)        # [B, N]
+    inv = jnp.argsort(order, axis=-1)
+    return (n - inv).astype(jnp.int32)
+
+
+def _round(adjb: jnp.ndarray, ranks: jnp.ndarray, sel: jnp.ndarray
            ) -> jnp.ndarray:
     """One synchronized LGS round on a batch.
 
-    adjb: [B, N, N] bool; wts: [B, N]; sel: [B, N] int8 in {-1, 0, 1}.
+    adjb: [B, N, N] bool; ranks: [B, N] int32 (from `lgs_ranks` — strictly
+    distinct, so no in-round tie logic); sel: [B, N] int8 in {-1, 0, 1}.
     Returns updated sel. Takes the PRE-BOOLEANIZED adjacency: while_loop
     bodies are not loop-invariant-hoisted by XLA, so converting f32->pred
     inside the round would re-read the 4-byte adjacency every round; the
@@ -49,15 +66,12 @@ def _round(adjb: jnp.ndarray, wts: jnp.ndarray, sel: jnp.ndarray
     predicates instead.
     """
     remain = sel == -1                                     # [B, N]
-    # adjacency restricted to remaining columns
-    nbr = adjb & remain[:, None, :]                        # [B, N, N]
-    nbr_w = jnp.where(nbr, wts[:, None, :], NEG)
-    m = jnp.max(nbr_w, axis=-1)                            # [B, N]
-    has_nbr = jnp.any(nbr, axis=-1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, adjb.shape[:2], 1)  # [B, N]
-    tied = nbr & (wts[:, None, :] == m[:, :, None])
-    tied_min = jnp.min(jnp.where(tied, ids[:, None, :], BIG_ID), axis=-1)
-    win = remain & (~has_nbr | (wts > m) | ((wts == m) & (ids < tied_min)))
+    rr = jnp.where(remain, ranks, -1)                      # [B, N]
+    # max priority among remaining neighbors; -1 where none remain, so a
+    # neighborless remaining node (rank >= 1) always wins
+    nbr_r = jnp.where(adjb, rr[:, None, :], -1)            # [B, N, N]
+    m = jnp.max(nbr_r, axis=-1)                            # [B, N]
+    win = remain & (ranks > m)
     # exclude remaining neighbors of winners
     excl = remain & ~win & jnp.any(adjb & win[:, None, :], axis=-1)
     sel = jnp.where(win, jnp.int8(1), sel)
@@ -87,6 +101,7 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
     sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
     cap = n if max_rounds is None else int(max_rounds)
     adjb = adj > 0   # boolean once, outside the loop (see _round docstring)
+    ranks = lgs_ranks(wts)
 
     def cond(state):
         sel, r = state
@@ -94,7 +109,7 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
 
     def body(state):
         sel, r = state
-        return _round(adjb, wts, sel), r + 1
+        return _round(adjb, ranks, sel), r + 1
 
     sel, rounds = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
     util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
@@ -117,6 +132,7 @@ def lgs_round_counts(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray
     b, n = wts.shape
     sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
     adjb = adj > 0
+    ranks = lgs_ranks(wts)
 
     def cond(state):
         sel, r, p2p, bst = state
@@ -129,7 +145,7 @@ def lgs_round_counts(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray
                       axis=(-1,))
         p2p = p2p + jnp.sum(deg * remain, axis=-1).astype(jnp.int32)
         bst = bst + jnp.sum(remain, axis=-1).astype(jnp.int32)
-        return _round(adjb, wts, sel), r + 1, p2p, bst
+        return _round(adjb, ranks, sel), r + 1, p2p, bst
 
     z = jnp.zeros((b,), jnp.int32)
     sel, rounds, p2p, bst = jax.lax.while_loop(

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from distgcn_tpu.agents import build_state_arrays
-from distgcn_tpu.ops.lgs import _round
+from distgcn_tpu.ops.lgs import _round, lgs_ranks
 
 NEG = -jnp.inf
 
@@ -74,7 +74,7 @@ def _make_dit(model, flags, feature_mode):
             act, remain = _masked_forward(model, params, adj, wts, sel,
                                           mask, flags, feature_mode)
             gcn_wts = act * wts if flags.predict == "mwis" else act
-            sel = _round(adjb, gcn_wts, sel)
+            sel = _round(adjb, lgs_ranks(gcn_wts), sel)
             return sel, it + 1
 
         sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
@@ -126,7 +126,7 @@ def _make_rollout(model, flags, feature_mode, b_branches: int):
         total original-weight utility of the evaluation solution."""
         sel = jnp.where(remain, jnp.int8(-1), jnp.int8(0))
         adjb = adj > 0
-        wts_r = jnp.where(remain, wts, 0.0)   # loop-invariant
+        ranks_r = lgs_ranks(jnp.where(remain, wts, 0.0))   # loop-invariant
 
         def cond(state):
             s, it = state
@@ -134,7 +134,7 @@ def _make_rollout(model, flags, feature_mode, b_branches: int):
 
         def body(state):
             s, it = state
-            return _round(adjb, wts_r, s), it + 1
+            return _round(adjb, ranks_r, s), it + 1
 
         sel, _ = jax.lax.while_loop(cond, body, (sel, jnp.int32(0)))
         return jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)

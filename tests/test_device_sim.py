@@ -1,0 +1,140 @@
+"""Device-resident closed-loop scheduler (sim/device_sim) tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from distgcn_tpu.core.graph import GraphBatch
+from distgcn_tpu.sim import device_sim
+from distgcn_tpu.sim.wireless import slot_weights
+from distgcn_tpu.solvers.greedy import local_greedy_search
+from distgcn_tpu.utils.config import Config
+from distgcn_tpu.agents import DQNAgent
+
+from conftest import random_graph
+
+
+def _batch(rng, b=3, n=40, pad=48):
+    adjs = [random_graph(rng, n=n, p=0.1) for _ in range(b)]
+    wtss = [np.ones(n) for _ in range(b)]
+    return GraphBatch.from_scipy(adjs, wtss, pad_to=pad), adjs
+
+
+def _agent(pad):
+    cfg = Config(feature_size=1, hidden1=8, num_layer=2, diver_num=1,
+                 max_degree=1, predict="mwis", pad_to=pad, batch_size=4,
+                 epsilon=0.0)
+    return DQNAgent(cfg, model_family="gcn_dqn"), cfg
+
+
+def test_slot_step_matches_host_math(rng):
+    """One deterministic slot == host simulator queue/schedule math."""
+    gb, adjs = _batch(rng)
+    agent, cfg = _agent(gb.wts.shape[1])
+    step = device_sim.make_slot_step(agent.model, cfg, use_gcn=False)
+    b, n = gb.wts.shape
+    queue = (rng.random((b, n)) * 50).astype(np.float32) * np.asarray(gb.mask)
+    arrivals = (rng.random((b, n)) * 10).astype(np.float32) * np.asarray(gb.mask)
+    rates = np.trunc(rng.random((b, n)) * 100).astype(np.float32) * np.asarray(gb.mask)
+
+    q2, sel, util, wts = step(agent.params, None, gb.adj > 0, gb.mask,
+                              jnp.asarray(queue), jnp.asarray(arrivals),
+                              jnp.asarray(rates))
+    q2, sel, util, wts = (np.asarray(x) for x in (q2, sel, util, wts))
+
+    for i, a in enumerate(adjs):
+        nn = a.shape[0]
+        q = queue[i, :nn] + arrivals[i, :nn]
+        w_host = slot_weights(q, rates[i, :nn, None], "qr")[:, 0]
+        np.testing.assert_allclose(wts[i, :nn], w_host, rtol=1e-5)
+        mwis, total = local_greedy_search(a, w_host)
+        assert set(np.nonzero(sel[i, :nn] == 1)[0].tolist()) == mwis
+        np.testing.assert_allclose(util[i], total, rtol=1e-5)
+        cap = np.zeros(nn)
+        on = sorted(mwis)
+        cap[on] = rates[i, on]
+        dep = np.minimum(q, cap)
+        np.testing.assert_allclose(q2[i, :nn], q - dep, rtol=1e-5)
+
+
+def test_slot_step_gcn_reweights(rng):
+    """use_gcn=True runs the model and schedules an independent set."""
+    gb, adjs = _batch(rng)
+    agent, cfg = _agent(gb.wts.shape[1])
+    from distgcn_tpu.core import prep
+    sup = prep.masked_simple_polynomials_dense(gb.adj, gb.mask,
+                                               cfg.max_degree)
+    step = device_sim.make_slot_step(agent.model, cfg, use_gcn=True)
+    b, n = gb.wts.shape
+    queue = (rng.random((b, n)) * 50).astype(np.float32) * np.asarray(gb.mask)
+    arrivals = np.zeros((b, n), np.float32)
+    rates = np.full((b, n), 50.0, np.float32)
+    _, sel, util, _ = step(agent.params, sup, gb.adj > 0, gb.mask,
+                           jnp.asarray(queue), jnp.asarray(arrivals),
+                           jnp.asarray(rates))
+    sel = np.asarray(sel)
+    for i, a in enumerate(adjs):
+        nn = a.shape[0]
+        chosen = np.nonzero(sel[i, :nn] == 1)[0]
+        sub = a[chosen][:, chosen]
+        assert sub.nnz == 0  # independent set
+        assert not np.any(sel[i, nn:] == 1)  # padding never scheduled
+
+
+def test_closed_loop_runs_and_queues_are_stable(rng):
+    gb, _ = _batch(rng, b=4, n=30, pad=32)
+    agent, cfg = _agent(32)
+    run = device_sim.make_closed_loop(agent.model, cfg, timeslots=50,
+                                      load=0.5, with_baseline=True)
+    b, n = gb.wts.shape
+    q0 = jnp.zeros((b, n))
+    qT, metrics = run(agent.params, gb.adj, gb.mask, q0,
+                      jax.random.PRNGKey(0))
+    qT = np.asarray(qT)
+    assert qT.shape == (b, n)
+    assert np.all(qT >= 0)
+    assert np.all(np.asarray(metrics["avg_queue_len"]) >= 0)
+    assert np.all(np.asarray(metrics["avg_utility"]) >= 0)
+    # GCN-reweighted LGS never schedules padding and stays near greedy
+    ratio = np.asarray(metrics["avg_utility_ratio"])
+    assert np.all(ratio > 0.8)
+    # padding queues stay exactly zero (masked arrivals)
+    mask = np.asarray(gb.mask)
+    assert np.all(qT[~mask] == 0)
+
+
+def test_closed_loop_low_load_drains_queues(rng):
+    """At very low load service capacity >> arrivals: queues stay tiny."""
+    gb, _ = _batch(rng, b=2, n=20, pad=24)
+    agent, cfg = _agent(24)
+    run = device_sim.make_closed_loop(agent.model, cfg, timeslots=100,
+                                      load=0.02, use_gcn=False)
+    b, n = gb.wts.shape
+    qT, metrics = run(agent.params, gb.adj, gb.mask, jnp.zeros((b, n)),
+                      jax.random.PRNGKey(1))
+    high = device_sim.make_closed_loop(agent.model, cfg, timeslots=100,
+                                       load=2.0, use_gcn=False)
+    qT2, m2 = high(agent.params, gb.adj, gb.mask, jnp.zeros((b, n)),
+                   jax.random.PRNGKey(1))
+    low_q = float(np.mean(np.asarray(metrics["avg_queue_len"])))
+    high_q = float(np.mean(np.asarray(m2["avg_queue_len"])))
+    assert low_q < high_q  # overload builds backlog
+
+
+def test_slot_utilities_modes(rng):
+    q = jnp.asarray(rng.random((2, 5)).astype(np.float32) * 10)
+    r = jnp.asarray(np.trunc(rng.random((2, 5)) * 100).astype(np.float32))
+    np.testing.assert_allclose(device_sim.slot_utilities(q, r, "qr"),
+                               np.asarray(q) * np.asarray(r), rtol=1e-6)
+    np.testing.assert_allclose(device_sim.slot_utilities(q, r, "q"),
+                               np.asarray(q), rtol=1e-6)
+    qor = np.asarray(device_sim.slot_utilities(q, r, "qor"))
+    expect = slot_weights(np.asarray(q)[0], np.asarray(r)[0][:, None],
+                          "qor")[:, 0]
+    np.testing.assert_allclose(qor[0], expect, rtol=1e-5)
+    np.testing.assert_allclose(device_sim.slot_utilities(q, r, "qrm"),
+                               np.minimum(np.asarray(q), np.asarray(r)),
+                               rtol=1e-6)
+    u = device_sim.slot_utilities(q, r, "random", key=jax.random.PRNGKey(0))
+    assert u.shape == q.shape
