@@ -129,3 +129,28 @@ def multichannel_conflict_graph(graphs: List[sp.spmatrix]
                 big[k1 * nn + i, k2 * nn + i] = 1
                 big[k2 * nn + i, k1 * nn + i] = 1
     return adj_list, big.tocsr()
+
+
+def pad_product_graph(adj_gk: sp.spmatrix, nflows: int, n_ch: int,
+                      nflows_pad: int) -> np.ndarray:
+    """Re-block a product conflict graph for a padded link count.
+
+    The multichannel node numbering is j = ch * nflows + link
+    (`multichannel_conflict_graph`); device batching pads the LINK dimension
+    (nflows -> nflows_pad), which shifts every channel block. Returns a
+    dense [n_ch * nflows_pad, n_ch * nflows_pad] adjacency with each
+    channel-block copied to its padded offset (padding rows/cols zero).
+    Used with `sim.device_sim.make_closed_loop_mc` + a [.., nflows_pad]
+    link mask.
+    """
+    assert nflows_pad >= nflows
+    a = sp.csr_matrix(adj_gk).toarray()
+    nkp = n_ch * nflows_pad
+    out = np.zeros((nkp, nkp), dtype=np.float32)
+    for k1 in range(n_ch):
+        for k2 in range(n_ch):
+            blk = a[k1 * nflows:(k1 + 1) * nflows,
+                    k2 * nflows:(k2 + 1) * nflows]
+            out[k1 * nflows_pad:k1 * nflows_pad + nflows,
+                k2 * nflows_pad:k2 * nflows_pad + nflows] = blk
+    return out

@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 AXIS = "graph"
 
@@ -66,8 +66,8 @@ def make_ring_spmm(mesh: Mesh, n: int, f: int):
             x_shard = jax.lax.ppermute(x_shard, AXIS, _ring_perm(d))
             return (x_shard, y)
 
-        y0 = jax.lax.pvary(jnp.zeros((n_loc, x_loc.shape[1]), jnp.float32),
-                           AXIS)
+        y0 = jax.lax.pcast(jnp.zeros((n_loc, x_loc.shape[1]), jnp.float32),
+                           AXIS, to="varying")
         x_fin, y = jax.lax.fori_loop(0, d, step, (x_loc, y0))
         return y
 
@@ -157,7 +157,8 @@ def make_sharded_lgs(mesh: Mesh, n: int):
                 return (shard, y, shard_off)
 
             _, y, _ = jax.lax.fori_loop(
-                0, d, step, (payload_loc, jax.lax.pvary(init, AXIS), 0))
+                0, d, step,
+                (payload_loc, jax.lax.pcast(init, AXIS, to="varying"), 0))
             return y
 
         def one_round(state):

@@ -106,7 +106,7 @@ def make_closed_loop(model, flags: Config, timeslots: int,
                      load: float = 0.9, rate_lo: float = 0.0,
                      rate_hi: float = 100.0, wt_sel: str = "qr",
                      feature_mode: str = "gdpg", use_gcn: bool = True,
-                     with_baseline: bool = False):
+                     with_baseline: bool = False, mesh=None):
     """Closed-loop T-slot scheduling episode as one jitted scan.
 
     Returns run(params, adj, mask, queue0, key) ->
@@ -116,13 +116,16 @@ def make_closed_loop(model, flags: Config, timeslots: int,
 
     adj is the dense [B,N,N] 0/1 conflict adjacency (static over the
     episode); supports are built once outside the scan and stay resident.
+
+    mesh: optional ('data','model') jax Mesh — shards the graph batch over
+    the 'data' axis (params/key replicated); the whole episode then runs
+    SPMD with XLA collectives over ICI.
     """
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
     step = make_slot_step(model, flags, feature_mode, wt_sel, use_gcn)
 
-    @jax.jit
     def run(params, adj, mask, queue0, key):
         m = mask.astype(queue0.dtype)
         supports = prep.masked_simple_polynomials_dense(
@@ -167,6 +170,89 @@ def make_closed_loop(model, flags: Config, timeslots: int,
         if with_baseline:
             metrics["avg_utility_ratio"] = jnp.mean(
                 slots["util"] / jnp.maximum(slots["gutil"], 1e-9), axis=0)
+        return queue, metrics
+
+    if mesh is None:
+        return jax.jit(run)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    # output shardings inferred by GSPMD (metrics is a dict keyed by mode)
+    return jax.jit(run, in_shardings=(rep, dat, dat, dat, rep))
+
+
+def make_closed_loop_mc(model, flags: Config, timeslots: int, n_ch: int,
+                        load: float = 0.9, rate_lo: float = 0.0,
+                        rate_hi: float = 100.0, wt_sel: str = "qr",
+                        feature_mode: str = "gdpg", use_gcn: bool = True):
+    """Multi-channel closed loop on the product conflict graph.
+
+    The reference's multichannel drivers schedule MWIS on a product graph
+    with one node per (link, channel), per-channel conflict edges plus a
+    single-radio clique across a link's channel copies
+    (wireless_rollout_test_flood.py:98-133); flat node id = ch*nflows+link
+    (order='F' reshape, wireless_dqn_test_mc.py:229). Queues are per LINK;
+    a scheduled (link, ch) drains at that channel's rate (the cross-channel
+    clique guarantees at most one channel per link).
+
+    Returns run(params, adj_gk, link_mask, queue0, key) ->
+      (queueT [B,Nf], metrics) with adj_gk [B, n_ch*Nf, n_ch*Nf] and
+      link_mask [B, Nf].
+    """
+    arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    mean_r = 0.5 * (rate_lo + rate_hi)
+    std_r = 0.25 * (rate_hi - rate_lo)
+
+    @jax.jit
+    def run(params, adj_gk, link_mask, queue0, key):
+        b, nf = queue0.shape
+        nk = adj_gk.shape[-1]
+        assert nk == n_ch * nf, (nk, n_ch, nf)
+        m = link_mask.astype(queue0.dtype)
+        mask_k = jnp.tile(link_mask, (1, n_ch))             # [B, nch*Nf]
+        supports = prep.masked_simple_polynomials_dense(
+            adj_gk, mask_k, flags.max_degree)
+        adjb = adj_gk > 0
+
+        def body(carry, _):
+            queue, key = carry
+            key, ka, kr = jax.random.split(key, 3)
+            arrivals = jax.random.poisson(
+                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            rates = jax.random.normal(kr, (b, nf, n_ch)) * std_r + mean_r
+            rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) \
+                * m[..., None]
+            queue = queue + arrivals
+            wts3 = slot_utilities(queue[:, :, None], rates, wt_sel)
+            # order='F' flatten: node ch*nflows+link
+            wts = wts3.transpose(0, 2, 1).reshape(b, nk) * mask_k
+            if use_gcn:
+                feats = _features_for(wts, mask_k, flags, feature_mode)
+                out = model.apply({"params": params}, feats, supports)
+                act = out[..., 0].astype(wts.dtype) * mask_k
+                gcn_wts = act * wts if flags.predict == "mwis" else act
+            else:
+                gcn_wts = wts
+            sel, _, _ = batched_lgs(adjb, gcn_wts, mask_k)
+            on3 = (sel == 1).reshape(b, n_ch, nf).astype(queue.dtype)
+            capacity = jnp.sum(rates.transpose(0, 2, 1) * on3, axis=1)
+            departures = jnp.minimum(queue, capacity)
+            queue = queue - departures
+            util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+            return (queue, key), {
+                "queue_sum": jnp.sum(queue * m, axis=-1),
+                "util": util,
+                "nsched": jnp.sum((sel == 1).astype(jnp.float32), axis=-1),
+            }
+
+        (queue, _), slots = jax.lax.scan(body, (queue0, key), None,
+                                         length=timeslots)
+        nreal = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        metrics = {
+            "avg_queue_len": jnp.mean(slots["queue_sum"], axis=0) / nreal,
+            "avg_utility": jnp.mean(slots["util"], axis=0),
+            "sched_rate": jnp.mean(slots["nsched"], axis=0) / nreal,
+        }
         return queue, metrics
 
     return run

@@ -138,3 +138,61 @@ def test_slot_utilities_modes(rng):
                                rtol=1e-6)
     u = device_sim.slot_utilities(q, r, "random", key=jax.random.PRNGKey(0))
     assert u.shape == q.shape
+
+
+def test_multichannel_closed_loop(rng):
+    """Product-graph scheduling: never two channels of the same link on,
+    queues drain via per-channel rates, padding clean."""
+    n_ch, nf = 3, 20
+    adjs = [random_graph(rng, n=nf, p=0.15) for _ in range(2)]
+    from distgcn_tpu.data.wireless import multichannel_conflict_graph
+    import jax.numpy as jnp
+    gks = []
+    for a in adjs:
+        _, gk = multichannel_conflict_graph([a] * n_ch)
+        gks.append(gk)
+    nk = n_ch * nf
+    adj_gk = np.zeros((2, nk, nk), np.float32)
+    for i, gk in enumerate(gks):
+        adj_gk[i] = gk.toarray()
+    link_mask = np.ones((2, nf), bool)
+    agent, cfg = _agent(nk)
+    run = device_sim.make_closed_loop_mc(agent.model, cfg, timeslots=40,
+                                         n_ch=n_ch, load=0.5)
+    qT, m = run(agent.params, jnp.asarray(adj_gk), jnp.asarray(link_mask),
+                jnp.zeros((2, nf)), jax.random.PRNGKey(0))
+    qT = np.asarray(qT)
+    assert qT.shape == (2, nf)
+    assert np.all(qT >= 0)
+    assert np.all(np.asarray(m["avg_utility"]) >= 0)
+    # cross-channel clique: scheduled product nodes form an IS, so at most
+    # one channel per link ever fires — validated via one deterministic slot
+    step = device_sim.make_slot_step(agent.model, cfg, use_gcn=False)
+    queue = (rng.random((2, nk)) * 20).astype(np.float32)
+    sel = np.asarray(step(agent.params, None, jnp.asarray(adj_gk) > 0,
+                          jnp.asarray(np.ones((2, nk), bool)),
+                          jnp.asarray(queue),
+                          jnp.zeros((2, nk), np.float32),
+                          jnp.full((2, nk), 10.0, np.float32))[1])
+    per_link = (sel == 1).reshape(2, n_ch, nf).sum(axis=1)
+    assert per_link.max() <= 1
+
+
+def test_sharded_closed_loop_matches_single_device(rng):
+    """8-virtual-device data-sharded episode == unsharded episode."""
+    from distgcn_tpu.parallel.mesh import make_mesh
+    gb, _ = _batch(rng, b=8, n=24, pad=32)
+    agent, cfg = _agent(32)
+    b, n = gb.wts.shape
+    q0 = jnp.zeros((b, n))
+    key = jax.random.PRNGKey(3)
+    run1 = device_sim.make_closed_loop(agent.model, cfg, timeslots=30,
+                                       load=0.5)
+    mesh = make_mesh(n_data=8, n_model=1)
+    run8 = device_sim.make_closed_loop(agent.model, cfg, timeslots=30,
+                                       load=0.5, mesh=mesh)
+    qA, mA = run1(agent.params, gb.adj, gb.mask, q0, key)
+    qB, mB = run8(agent.params, gb.adj, gb.mask, q0, key)
+    np.testing.assert_allclose(np.asarray(qA), np.asarray(qB), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mA["avg_queue_len"]),
+                               np.asarray(mB["avg_queue_len"]), rtol=1e-5)
