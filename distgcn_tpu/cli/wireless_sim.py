@@ -9,6 +9,14 @@ Usage (mirrors bash/test_wireless_gcn_dqn.sh / twc_major_wireless_mc_test.sh):
         --num_layer=1 --hidden1=32 --feature_size=1 --diver_num=1
 
 Flood mode (fixed load 0.85, iterate instances): --flood=1
+
+Device-loop mode (--device_loop=1): the production fast path — every
+network is packed into one padded batch and each load's whole episode
+(arrivals, queues, utilities, GCN, LGS) runs as a single on-device scan
+(`sim/device_sim`), ~3 orders of magnitude faster than the per-slot host
+loop. Traffic is drawn from the device RNG, so per-slot streams are not
+bit-identical to the host simulator's numpy streams (same distributions);
+metrics carry the algo name 'DGCN-LGS-DL'.
 """
 
 from __future__ import annotations
@@ -39,11 +47,15 @@ def main(argv=None, agent=None, max_networks: int = 20):
     extra.add_argument("--flood", type=int, default=0)
     extra.add_argument("--benchmark", default="exact",
                        choices=["exact", "greedy"])
+    extra.add_argument("--device_loop", type=int, default=0)
     ns, _ = extra.parse_known_args(argv)
 
     n_ch = cfg.num_channels
     params = SimParams(wt_sel=cfg.wt_sel, n_ch=n_ch, benchmark=ns.benchmark)
     algolist = algolist_for_opt(cfg.opt)
+
+    if ns.device_loop:
+        return main_device_loop(cfg, ns, agent, max_networks)
 
     if agent is None and any(a.startswith(("DGCN", "CGCN")) for a in algolist):
         agent = DQNAgent(cfg, model_family="gcn_dqn")
@@ -111,6 +123,105 @@ def main(argv=None, agent=None, max_networks: int = 20):
                       f"q_mean[{lead}]={metrics[lead]['avg_queue_len']:.3f} "
                       f"u[{lead}]={metrics[lead]['avg_utility']:.3f} "
                       f"run={time.time()-t0:.2f}s")
+    print("Done!")
+    return results
+
+
+def main_device_loop(cfg, ns, agent=None, max_networks: int = 20):
+    """All networks in one padded batch; one on-device scan per load."""
+    import jax
+    import jax.numpy as jnp
+    from distgcn_tpu.core.graph import pad_bucket
+    from distgcn_tpu.data.wireless import pad_product_graph
+    from distgcn_tpu.sim.device_sim import (make_closed_loop,
+                                            make_closed_loop_mc)
+
+    n_ch = cfg.num_channels
+    if agent is None:
+        agent = DQNAgent(cfg, model_family="gcn_dqn")
+        model_origin = find_model_folder(cfg, "dqn", ns.model_root)
+        if not agent.load(model_origin):
+            print(f"Unable to load {model_origin} — using current params")
+
+    files = sorted(f for f in os.listdir(cfg.test_datapath)
+                   if f.endswith(".mat"))[:max_networks]
+    nets = []
+    for fname in files:
+        m = sio.loadmat(os.path.join(cfg.test_datapath, fname))
+        gdict = m["gdict"][0, 0]
+        seed = int(np.asarray(m["random_seed"]).flatten()[0])
+        adj_c, xys, adj_i = poisson_graphs_from_dict(gdict)
+        nflows = adj_i.shape[0]
+        if nflows == 0:
+            continue
+        if n_ch > 1:
+            graphs = multichannel_conflict_simulate(
+                adj_i.toarray(), n_ch, 0.8, np.random.default_rng(seed))
+            _, adj_gk = multichannel_conflict_graph(graphs)
+            nets.append((seed, nflows, adj_gk))
+        else:
+            nets.append((seed, nflows, sp.csr_matrix(adj_i)))
+    if not nets:
+        print("No networks found")
+        return None
+
+    b = len(nets)
+    nfp = pad_bucket(max(nf for _, nf, _ in nets))
+    link_mask = np.zeros((b, nfp), bool)
+    for i, (_, nf, _) in enumerate(nets):
+        link_mask[i, :nf] = True
+    if n_ch > 1:
+        adj = np.stack([pad_product_graph(gk, nf, n_ch, nfp)
+                        for _, nf, gk in nets])
+    else:
+        adj = np.zeros((b, nfp, nfp), np.float32)
+        for i, (_, nf, a) in enumerate(nets):
+            adj[i, :nf, :nf] = a.toarray()
+    adj = jnp.asarray(adj)
+    mask = jnp.asarray(link_mask)
+
+    out_csv = os.path.join(
+        cfg.output,
+        "metric_vs_load_summary_{}-channel_utility-{}_deviceloop.csv"
+        .format(n_ch, cfg.wt_sel))
+    results = ResumableResults(out_csv)
+    load_array = np.round(np.arange(cfg.load_min,
+                                    cfg.load_max + cfg.load_step,
+                                    cfg.load_step), 2).tolist()
+    T = 200
+    for load in load_array:
+        if all(results.done(seed, seed, load) for seed, _, _ in nets):
+            continue
+        t0 = time.time()
+        if n_ch > 1:
+            run = make_closed_loop_mc(agent.model, cfg, timeslots=T,
+                                      n_ch=n_ch, load=load,
+                                      wt_sel=cfg.wt_sel,
+                                      feature_mode=agent.feature_mode)
+        else:
+            run = make_closed_loop(agent.model, cfg, timeslots=T, load=load,
+                                   wt_sel=cfg.wt_sel,
+                                   feature_mode=agent.feature_mode,
+                                   with_baseline=True)
+        q0 = jnp.zeros((b, nfp))
+        key = jax.random.PRNGKey(int(load * 1000))
+        _, metrics = run(agent.params, adj, mask, q0, key)
+        rows = []
+        for i, (seed, nf, _) in enumerate(nets):
+            if results.done(seed, seed, load):
+                continue
+            row = {"graph": seed, "seed": seed, "load": load,
+                   "name": "DGCN-LGS-DL", "avg_degree": 0.0,
+                   "avg_queue_len": float(metrics["avg_queue_len"][i]),
+                   "med_queue_len": 0.0, "95p_queue_len": 0.0,
+                   "5p_queue_len": 0.0,
+                   "avg_utility": float(metrics.get(
+                       "avg_utility_ratio", metrics["avg_utility"])[i])}
+            rows.append(row)
+        if rows:
+            results.append(rows)
+        print(f"load {load}: {b} nets x {T} slots in {time.time()-t0:.2f}s "
+              f"({b * T / max(time.time()-t0, 1e-9):,.0f} decisions/s)")
     print("Done!")
     return results
 

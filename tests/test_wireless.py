@@ -130,3 +130,51 @@ def test_run_instance_multichannel_seq(gdict, rng):
     m1 = run_instance(graphs[0], nflows, 0.4, 3, ["Greedy"], p1)
     assert metrics["Greedy"]["avg_queue_len"] <= \
         m1["Greedy"]["avg_queue_len"] + 1e-6
+
+
+def test_cli_device_loop(tmp_path, rng):
+    """--device_loop=1 end-to-end: CSV written, sane metrics, resumable."""
+    from distgcn_tpu.data import generate
+    import os
+    netdir = tmp_path / "nets"
+    netdir.mkdir()
+    generate.generate_wireless_network(str(netdir), n_networks=2, area=100,
+                                       n_nodes=30, r_connect=2.0,
+                                       r_interfere=4.0, seed=11)
+    out = tmp_path / "out"
+    from distgcn_tpu.cli import wireless_sim
+    argv = [f"--test_datapath={netdir}", "--wt_sel=qr", "--load_min=0.5",
+            "--load_max=0.5", "--load_step=1.0", "--num_channels=1",
+            "--opt=0", "--num_layer=1", "--hidden1=8", "--feature_size=1",
+            "--diver_num=1", "--max_degree=1", "--predict=mwis",
+            f"--output={out}", "--device_loop=1",
+            f"--model_root={tmp_path / 'nomodel'}"]
+    res = wireless_sim.main(argv)
+    df = res.df
+    assert len(df) == 2
+    assert set(df["name"]) == {"DGCN-LGS-DL"}
+    assert (df["avg_queue_len"] >= 0).all()
+    assert (df["avg_utility"] > 0.5).all()
+    # resumability: second run adds nothing
+    res2 = wireless_sim.main(argv)
+    assert len(res2.df) == 2
+
+
+def test_cli_device_loop_multichannel(tmp_path, rng):
+    from distgcn_tpu.data import generate
+    netdir = tmp_path / "nets"
+    netdir.mkdir()
+    generate.generate_wireless_network(str(netdir), n_networks=1, area=100,
+                                       n_nodes=30, r_connect=2.0,
+                                       r_interfere=4.0, seed=13)
+    out = tmp_path / "out"
+    from distgcn_tpu.cli import wireless_sim
+    argv = [f"--test_datapath={netdir}", "--wt_sel=qr", "--load_min=0.4",
+            "--load_max=0.4", "--load_step=1.0", "--num_channels=2",
+            "--opt=5", "--num_layer=1", "--hidden1=8", "--feature_size=1",
+            "--diver_num=1", "--max_degree=1", "--predict=mwis",
+            f"--output={out}", "--device_loop=1",
+            f"--model_root={tmp_path / 'nomodel'}"]
+    res = wireless_sim.main(argv)
+    assert len(res.df) == 1
+    assert (res.df["avg_queue_len"] >= 0).all()
