@@ -101,3 +101,15 @@ class Dense(nn.Module):
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.out_dim,))
         return self.act(out)
+
+
+def maxpool_aggregate(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-feature masked neighbor max-aggregation:
+    ``out[..., v, f] = max_u x[..., v, u] * y[..., u, f]``.
+
+    Device re-spec of the reference's unused `maxpooling` op
+    (gcn/layers.py:35-53, a per-feature loop of diag-matmul + reduce_max;
+    its final concat/reshape layout quirk is not reproduced — no reference
+    model ever calls the op). Batched: x [..., N, N], y [..., N, F].
+    """
+    return jnp.max(x[..., :, :, None] * y[..., None, :, :], axis=-2)

@@ -183,3 +183,45 @@ def _python_bnb(a: sp.csr_matrix, w: np.ndarray, timeout: float
     solu = np.array(sorted(best[1]), dtype=int)
     return solu, float(w[solu].sum() if solu.size else 0.0), \
         "Timeout" if timed_out[0] else "Optimal"
+
+
+def all_maximal_is(adj) -> list:
+    """Enumerate ALL maximal independent sets (reference `get_all_mis`,
+    heuristics.py:308-318, which used igraph's
+    maximal_independent_vertex_sets). Bron-Kerbosch with pivoting on the
+    complement graph (maximal IS of G == maximal cliques of G-complement).
+    Exponential in the worst case — intended for the reference's small
+    label-generation graphs. Returns a list of sorted node-id lists."""
+    a = _csr(adj)
+    n = a.shape[0]
+    nbrs = [set(a.indices[a.indptr[v]: a.indptr[v + 1]].tolist()) - {v}
+            for v in range(n)]
+    # complement neighborhoods (co-nbrs = candidates that stay independent)
+    allv = set(range(n))
+    co = [allv - nbrs[v] - {v} for v in range(n)]
+    out = []
+
+    def bk(r: set, p: set, x: set):
+        if not p and not x:
+            out.append(sorted(r))
+            return
+        pivot = max(p | x, key=lambda u: len(co[u] & p))
+        for v in list(p - co[pivot]):
+            bk(r | {v}, p & co[v], x & co[v])
+            p.discard(v)
+            x.add(v)
+
+    bk(set(), set(range(n)), set())
+    return out
+
+
+def get_mwis(adj, wts) -> Tuple[set, float]:
+    """Best maximal IS by total weight via exhaustive enumeration
+    (reference `get_mwis`, heuristics.py:320-324)."""
+    w = np.asarray(wts, dtype=float).flatten()
+    best, best_val = set(), -np.inf
+    for mis in all_maximal_is(adj):
+        val = float(w[mis].sum())
+        if val > best_val:
+            best, best_val = set(mis), val
+    return best, best_val

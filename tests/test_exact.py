@@ -82,3 +82,46 @@ def test_fast_native_solvers_parity(rng):
         w = np.round(rng.random(70) * 8) / 8  # engineered ties
         assert fast_greedy(a, w)[0] == greedy_search(a, w)[0]
         assert fast_local_greedy(a, w)[0] == local_greedy_search(a, w)[0]
+
+
+def test_all_maximal_is_enumeration(rng):
+    from distgcn_tpu.solvers.exact import all_maximal_is, get_mwis, mwis_exact
+    from conftest import random_graph
+    for _ in range(3):
+        a = random_graph(rng, n=14, p=0.25)
+        mis_list = all_maximal_is(a)
+        dense = a.toarray()
+        seen = set()
+        for mis in mis_list:
+            t = tuple(mis)
+            assert t not in seen
+            seen.add(t)
+            # independent
+            for i in mis:
+                for j in mis:
+                    if i != j:
+                        assert dense[i, j] == 0
+            # maximal: every outside node has a neighbor inside
+            for v in range(14):
+                if v not in mis:
+                    assert any(dense[v, u] for u in mis)
+        # exhaustive best == exact B&B optimum (MWIS with positive weights
+        # is always attained at a maximal set)
+        w = rng.random(14) + 0.1
+        s_enum, v_enum = get_mwis(a, w)
+        _, v_bnb, status = mwis_exact(a, w, timeout=30.0)
+        assert abs(v_enum - v_bnb) < 1e-9
+
+
+def test_maxpool_aggregate(rng):
+    import jax.numpy as jnp
+    import numpy as np
+    from distgcn_tpu.models.layers import maxpool_aggregate
+    x = (rng.random((3, 6, 6)) < 0.5).astype(np.float32)
+    y = rng.random((3, 6, 4)).astype(np.float32)
+    out = np.asarray(maxpool_aggregate(jnp.asarray(x), jnp.asarray(y)))
+    # oracle: reference loop semantics per feature (gcn/layers.py:41-47)
+    for b in range(3):
+        for f in range(4):
+            expect = (x[b] @ np.diag(y[b, :, f])).max(axis=1)
+            np.testing.assert_allclose(out[b, :, f], expect, rtol=1e-6)
