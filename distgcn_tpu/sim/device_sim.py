@@ -256,3 +256,96 @@ def make_closed_loop_mc(model, flags: Config, timeslots: int, n_ch: int,
         return queue, metrics
 
     return run
+
+
+def make_online_training_loop(model, flags: Config, optimizer,
+                              timeslots: int, load: float = 0.9,
+                              rate_lo: float = 0.0, rate_hi: float = 100.0,
+                              wt_sel: str = "qr",
+                              feature_mode: str = "gdpg"):
+    """Online RL training inside the scheduling episode, fully on device.
+
+    The reference trains online in its wireless loop by memorizing each
+    slot's (state, action, reward) and replaying on the host
+    (wireless_dqn_test.py:339-344). TPU-native form: every slot schedules
+    with the CURRENT params, computes reward = scheduled-utility /
+    plain-LGS-baseline-utility, regresses the model's node scores toward
+    the DQN-style assignment target (target[solution] = reward,
+    mwis_dqn_call.py:168-171) with the reference RMSE + layer-1 L2 loss,
+    and applies one Adam update — one gradient step per slot, batched over
+    all B graphs, inside the same `lax.scan` as the queue dynamics.
+
+    Returns run(params, opt_state, adj, mask, queue0, key) ->
+      (params, opt_state, queueT,
+       {"loss": [T], "avg_utility_ratio": [T], "avg_queue_len": [B]}).
+    """
+    arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    mean_r = 0.5 * (rate_lo + rate_hi)
+    std_r = 0.25 * (rate_hi - rate_lo)
+    wd = flags.weight_decay
+    import optax
+
+    def loss_fn(params, feats, supports, labels, mask, lmask):
+        out = model.apply({"params": params}, feats, supports)  # [B,N,D]
+        err = (out[..., 0] - labels) ** 2 * mask * lmask
+        mse = jnp.sum(err, axis=-1) / jnp.maximum(
+            jnp.sum(mask * lmask, axis=-1), 1.0)
+        loss = jnp.mean(jnp.sqrt(mse))
+        first_key = "gc1" if "gc1" in params else sorted(params.keys())[0]
+        l2 = sum(jnp.sum(v ** 2) / 2.0
+                 for v in jax.tree_util.tree_leaves(params[first_key]))
+        return loss + wd * l2
+
+    @jax.jit
+    def run(params, opt_state, adj, mask, queue0, key):
+        m = mask.astype(queue0.dtype)
+        supports = prep.masked_simple_polynomials_dense(
+            adj, mask, flags.max_degree)
+        adjb = adj > 0
+
+        def body(carry, _):
+            params, opt_state, queue, key = carry
+            key, ka, kr = jax.random.split(key, 3)
+            arrivals = jax.random.poisson(
+                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            rates = jax.random.normal(kr, queue.shape) * std_r + mean_r
+            rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) * m
+            queue = queue + arrivals
+            wts = slot_utilities(queue, rates, wt_sel) * m
+
+            feats = _features_for(wts, mask, flags, feature_mode)
+            out = model.apply({"params": params}, feats, supports)
+            act = out[..., 0].astype(wts.dtype) * mask
+            gcn_wts = act * wts if flags.predict == "mwis" else act
+            sel, util, _ = batched_lgs(adjb, gcn_wts, mask)
+            _, gutil, _ = batched_lgs(adjb, wts, mask)
+            reward = util / jnp.maximum(gutil, 1e-9)          # [B]
+
+            # DQN assignment target on the chosen solution's nodes
+            on = (sel == 1)
+            labels = jnp.where(on, reward[:, None], act)
+            lmask = jnp.ones_like(m)  # regress all real nodes
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, feats, supports, labels, m, lmask)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            on_f = on.astype(queue.dtype)
+            departures = jnp.minimum(queue, rates * on_f)
+            queue = queue - departures
+            slot = {"loss": loss,
+                    "ratio": jnp.mean(reward),
+                    "queue_sum": jnp.sum(queue * m, axis=-1)}
+            return (params, opt_state, queue, key), slot
+
+        (params, opt_state, queue, _), slots = jax.lax.scan(
+            body, (params, opt_state, queue0, key), None, length=timeslots)
+        nreal = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        metrics = {
+            "loss": slots["loss"],
+            "avg_utility_ratio": slots["ratio"],
+            "avg_queue_len": jnp.mean(slots["queue_sum"], axis=0) / nreal,
+        }
+        return params, opt_state, queue, metrics
+
+    return run

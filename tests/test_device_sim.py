@@ -196,3 +196,31 @@ def test_sharded_closed_loop_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(qA), np.asarray(qB), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(mA["avg_queue_len"]),
                                np.asarray(mB["avg_queue_len"]), rtol=1e-5)
+
+
+def test_online_training_loop_improves_or_holds(rng):
+    """On-device online training: params change, loss finite, scheduling
+    quality does not collapse, queue dynamics intact."""
+    import optax
+    from distgcn_tpu.rl.train import make_optimizer
+    gb, _ = _batch(rng, b=4, n=30, pad=32)
+    agent, cfg = _agent(32)
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(agent.params)
+    run = device_sim.make_online_training_loop(agent.model, cfg, opt,
+                                               timeslots=60, load=0.6)
+    b, n = gb.wts.shape
+    p2, os2, qT, m = run(agent.params, opt_state, gb.adj, gb.mask,
+                         jnp.zeros((b, n)), jax.random.PRNGKey(0))
+    losses = np.asarray(m["loss"])
+    ratios = np.asarray(m["avg_utility_ratio"])
+    assert np.all(np.isfinite(losses))
+    assert np.all(np.isfinite(ratios)) and np.all(ratios > 0.2)
+    # the regression objective itself is being optimized
+    assert losses[-10:].mean() < losses[:10].mean()
+    assert np.all(np.asarray(qT) >= 0)
+    # parameters actually moved
+    d = jax.tree_util.tree_map(lambda a, b_: float(np.abs(np.asarray(a)
+                                                          - np.asarray(b_)).max()),
+                               agent.params, p2)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
