@@ -23,7 +23,6 @@ import numpy as np
 import pandas as pd
 
 from distgcn_tpu.agents import DQNAgent
-from distgcn_tpu.data.matio import list_dataset
 from distgcn_tpu.pipeline import BatchedEvaluator
 from distgcn_tpu.utils.config import Config
 from distgcn_tpu.utils.directory import find_model_folder

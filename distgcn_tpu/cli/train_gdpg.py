@@ -118,7 +118,6 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
     per graph), and the greedy baseline comes from the same launch.
     """
     import jax
-    import jax.numpy as jnp
     from distgcn_tpu.agents import DQNAgent
     from distgcn_tpu.core.graph import GraphBatch
     from distgcn_tpu.pipeline import make_solve_pipeline, BatchedEvaluator

@@ -25,7 +25,7 @@ with hindsight-min weighted cross-entropy.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Initialization parity: 'random' = glorot uniform U(±sqrt(6/(fi+fo)))
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ graphs lives in parallel/halo.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -20,7 +20,7 @@ Target construction parity (mwis_gdpg_call.py:723-756):
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
