@@ -133,16 +133,24 @@ def make_sharded_gcn_forward(mesh: Mesh, n: int, feature_size: int,
 
 def make_sharded_lgs(mesh: Mesh, n: int):
     """Full LGS over a row-partitioned graph: per round, each device computes
-    its rows' winners from the neighbor-key maxima assembled via the ring,
-    then winner flags are exchanged the same way. State stays sharded."""
+    its rows' winners from the neighbor-priority maxima assembled via the
+    ring, then winner flags are exchanged the same way. State stays sharded.
+
+    Priorities: like `ops.lgs`, nodes are pre-ranked by the (w, -id) total
+    order once per solve (weights all-gathered — O(N), vs the O(N^2/D)
+    adjacency panels), so each round needs only TWO ring reductions
+    (neighbor rank max + winner flags) instead of three (max + tied-min-id
+    + flags) and carries no tie logic."""
     d = mesh.shape[AXIS]
     n_loc = n // d
-    BIG = jnp.float32(3.4e38)
 
     def local_fn(a_loc, w_loc, mask_loc):
         my = jax.lax.axis_index(AXIS)
-        ids_loc = (jax.lax.broadcasted_iota(jnp.int32, (n_loc, 1), 0)[:, 0]
-                   + my * n_loc)
+        w_full = jax.lax.all_gather(w_loc, AXIS).reshape(n)
+        order = jnp.argsort(-w_full, stable=True)
+        inv = jnp.argsort(order)
+        ranks_full = (n - inv).astype(jnp.int32)     # in [1, n], distinct
+        ranks_loc = jax.lax.dynamic_slice(ranks_full, (my * n_loc,), (n_loc,))
 
         def ring_reduce(payload_loc, combine, init):
             """Accumulate combine(y, panel, payload_shard) over ring steps.
@@ -165,34 +173,20 @@ def make_sharded_lgs(mesh: Mesh, n: int):
             sel, it = state
             remain = sel == -1
 
-            # exchange (key, id) of remaining nodes; neighbor-max over ring
-            key_loc = jnp.where(remain, w_loc, -BIG)
+            # exchange remaining-node ranks; neighbor rank-max over ring
+            key_loc = jnp.where(remain, ranks_loc, -1)
 
             def comb_max(y, panel, shard, src):
-                nbr = (panel > 0) & (shard[None, :, 0] > -BIG)
-                vals = jnp.where(nbr, shard[None, :, 0], -BIG)
+                nbr = (panel > 0) & (shard[None, :, 0] > 0)
+                vals = jnp.where(nbr, shard[None, :, 0], -1)
                 return jnp.maximum(y, jnp.max(vals, axis=1))
 
             payload = key_loc[:, None]
             m = ring_reduce(payload, comb_max,
-                            jnp.full((n_loc,), -BIG, jnp.float32))
+                            jnp.full((n_loc,), -1, jnp.int32))
 
-            # tied-min-id over ring (ids of remaining nbrs achieving max m)
-            def comb_tid(y, panel, shard, src):
-                sid = (jax.lax.broadcasted_iota(jnp.int32, (n_loc, 1), 0)[:, 0]
-                       + src * n_loc)
-                nbr = (panel > 0) & (shard[None, :, 0] > -BIG)
-                tied = nbr & (shard[None, :, 0][..., :] == m[:, None])
-                cand = jnp.where(tied, sid[None, :],
-                                 jnp.int32(2 ** 31 - 1))
-                return jnp.minimum(y, jnp.min(cand, axis=1))
-
-            tid = ring_reduce(payload, comb_tid,
-                              jnp.full((n_loc,), 2 ** 31 - 1, jnp.int32))
-
-            has_nbr = m > -BIG
-            win = remain & (~has_nbr | (w_loc > m)
-                            | ((w_loc == m) & (ids_loc < tid)))
+            # no remaining neighbor -> m = -1 < rank: neighborless nodes win
+            win = remain & (ranks_loc > m)
 
             # exchange winner flags; exclude remaining nbrs of winners
             def comb_any(y, panel, shard, src):
