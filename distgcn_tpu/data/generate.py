@@ -152,9 +152,18 @@ def mwis_heuristic_maximal_sweep(adj: sp.spmatrix, wts: np.ndarray,
 
 
 def label_instance(adj: sp.spmatrix, wts: np.ndarray,
-                   rng: Optional[np.random.Generator] = None):
+                   rng: Optional[np.random.Generator] = None,
+                   exact: bool = False, exact_timeout: float = 60.0):
     """Best of the two labeling heuristics + greedy baseline
-    (Data_Generation.py:202-213)."""
+    (Data_Generation.py:202-213). exact=True labels with the true optimum
+    via the native B&B instead — the role of the reference's powerset
+    `mwis_bruteforce` (Data_Generation.py:159-178), usable far beyond
+    its ~20-node limit."""
+    if exact:
+        from distgcn_tpu.solvers.exact import mwis_exact
+        solu, val, _ = mwis_exact(adj, wts, exact_timeout)
+        _, v0 = greedy_search(adj, wts)
+        return set(np.asarray(solu).tolist()), float(val), v0
     m2, v2 = mwis_heuristic_maximal_sweep(adj, wts, rng)
     m1, v1 = mwis_heuristic_min_degree_ratio(adj, wts)
     _, v0 = greedy_search(adj, wts)

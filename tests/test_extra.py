@@ -159,3 +159,15 @@ def test_supervised_diver_training_improves_loss(tmp_path, rng):
                        "--backoff_prob=0.0",
                        f"--model_root={tmp_path / 'model'}"])
     assert best > 0.5  # tree search finds real independent sets
+
+
+def test_label_instance_exact(rng):
+    from distgcn_tpu.data.generate import label_instance
+    from conftest import random_graph
+    a = random_graph(rng, n=25, p=0.15)
+    w = rng.random(25) + 0.1
+    mwis, val, grd = label_instance(a, w, exact=True)
+    mh, vh, _ = label_instance(a, w, rng=rng)
+    assert val >= vh - 1e-9  # exact label >= heuristic label
+    ii = sorted(mwis)
+    assert a[ii][:, ii].nnz == 0
