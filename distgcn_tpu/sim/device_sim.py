@@ -348,3 +348,84 @@ def make_online_training_loop(model, flags: Config, optimizer,
         return params, opt_state, queue, metrics
 
     return run
+
+
+def make_closed_loop_seq(model, flags: Config, timeslots: int, n_ch: int,
+                         load: float = 0.9, rate_lo: float = 0.0,
+                         rate_hi: float = 100.0,
+                         feature_mode: str = "gdpg", use_gcn: bool = True):
+    """Sequential multi-channel scheduling (LGS-Seq / DGCN-LGS-Seq) on
+    device — the reference's channel-by-channel algorithm with queue-drain
+    estimates (wireless_dqn_test_mc.py:292-354, requires wt_sel='qr'):
+
+    for each channel ic: utilities = q_est * rate_ic over that channel's own
+    conflict graph; links with zero utility are excluded (the host version
+    deletes them from the subgraph — here they are masked out, which is
+    equivalent: they can neither enter nor block); scheduled links' drain
+    estimate min(q_est, rate_ic) carries to the next channel's utilities.
+
+    adj_ch: [B, n_ch, Nf, Nf] per-channel conflict adjacencies (static).
+    Returns run(params, adj_ch, link_mask, queue0, key) ->
+      (queueT [B,Nf], {"avg_queue_len": [B], "avg_utility": [B]}).
+    """
+    arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    mean_r = 0.5 * (rate_lo + rate_hi)
+    std_r = 0.25 * (rate_hi - rate_lo)
+
+    @jax.jit
+    def run(params, adj_ch, link_mask, queue0, key):
+        b, nf = queue0.shape
+        m = link_mask.astype(queue0.dtype)
+        sup_ch = [prep.masked_simple_polynomials_dense(
+            adj_ch[:, ic], link_mask, flags.max_degree)
+            for ic in range(n_ch)]
+        adjb_ch = adj_ch > 0
+
+        def body(carry, _):
+            queue, key = carry
+            key, ka, kr = jax.random.split(key, 3)
+            arrivals = jax.random.poisson(
+                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            rates = jax.random.normal(kr, (b, nf, n_ch)) * std_r + mean_r
+            rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) \
+                * m[..., None]
+            queue = queue + arrivals
+
+            q_est = queue
+            total_cap = jnp.zeros_like(queue)
+            util = jnp.zeros((b,), queue.dtype)
+            for ic in range(n_ch):
+                wts_ic = q_est * rates[:, :, ic]            # qr utilities
+                mask_ic = link_mask & (wts_ic > 0)
+                if use_gcn:
+                    feats = _features_for(wts_ic, mask_ic, flags,
+                                          feature_mode)
+                    out = model.apply({"params": params}, feats, sup_ch[ic])
+                    act = out[..., 0].astype(wts_ic.dtype) \
+                        * mask_ic.astype(wts_ic.dtype)
+                    gw = act * wts_ic if flags.predict == "mwis" else act
+                else:
+                    gw = wts_ic
+                sel, _, _ = batched_lgs(adjb_ch[:, ic], gw, mask_ic)
+                on = (sel == 1).astype(queue.dtype)
+                util = util + jnp.sum(wts_ic * on, axis=-1)
+                drain = jnp.minimum(q_est, rates[:, :, ic]) * on
+                total_cap = total_cap + rates[:, :, ic] * on
+                q_est = q_est - drain                       # estimate only
+
+            departures = jnp.minimum(queue, total_cap)
+            queue = queue - departures
+            return (queue, key), {
+                "queue_sum": jnp.sum(queue * m, axis=-1),
+                "util": util,
+            }
+
+        (queue, _), slots = jax.lax.scan(body, (queue0, key), None,
+                                         length=timeslots)
+        nreal = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        return queue, {
+            "avg_queue_len": jnp.mean(slots["queue_sum"], axis=0) / nreal,
+            "avg_utility": jnp.mean(slots["util"], axis=0),
+        }
+
+    return run

@@ -224,3 +224,61 @@ def test_online_training_loop_improves_or_holds(rng):
                                                           - np.asarray(b_)).max()),
                                agent.params, p2)
     assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_sequential_multichannel_loop(rng):
+    """Device LGS-Seq: per-channel independence, drain-estimate chaining,
+    valid queues; GCN variant also runs."""
+    n_ch, nf, b = 2, 24, 3
+    adjs = [[random_graph(rng, n=nf, p=0.15) for _ in range(n_ch)]
+            for _ in range(b)]
+    adj_ch = np.zeros((b, n_ch, nf, nf), np.float32)
+    for i in range(b):
+        for c in range(n_ch):
+            adj_ch[i, c] = adjs[i][c].toarray()
+    link_mask = np.ones((b, nf), bool)
+    agent, cfg = _agent(nf)
+    for use_gcn in (False, True):
+        run = device_sim.make_closed_loop_seq(agent.model, cfg, timeslots=30,
+                                              n_ch=n_ch, load=0.5,
+                                              use_gcn=use_gcn)
+        qT, m = run(agent.params, jnp.asarray(adj_ch),
+                    jnp.asarray(link_mask), jnp.zeros((b, nf)),
+                    jax.random.PRNGKey(0))
+        qT = np.asarray(qT)
+        assert qT.shape == (b, nf)
+        assert np.all(qT >= 0)
+        assert np.all(np.asarray(m["avg_utility"]) >= 0)
+
+
+def test_sequential_slot_matches_host_sequential(rng):
+    """One deterministic slot of device LGS-Seq == host _sequential."""
+    from distgcn_tpu.sim.wireless import AlgoRunner, SimParams
+    from distgcn_tpu.data.wireless import multichannel_conflict_graph
+    n_ch, nf = 2, 20
+    chans = [random_graph(rng, n=nf, p=0.2) for _ in range(n_ch)]
+    adj_list, adj_gk = multichannel_conflict_graph(chans)
+    params = SimParams(wt_sel="qr", n_ch=n_ch)
+    runner = AlgoRunner("LGS-Seq", adj_gk, params, adj_list=adj_list,
+                        nflows=nf)
+    queue = (rng.random(nf) * 50 + 1).astype(np.float64)
+    rates_t = np.trunc(rng.random((nf, n_ch)) * 99 + 1)
+    q_algo = np.tile(queue[:, None], (1, n_ch)).astype(float)
+    mwis_host = runner._sequential("LGS-Seq", q_algo.copy(), rates_t)
+
+    # device: replicate the per-channel loop for one slot
+    from distgcn_tpu.ops.lgs import batched_lgs
+    q_est = jnp.asarray(queue[None, :].astype(np.float32))
+    got = set()
+    for ic in range(n_ch):
+        wts_ic = q_est * jnp.asarray(rates_t[None, :, ic].astype(np.float32))
+        mask_ic = wts_ic > 0
+        adjb = jnp.asarray(chans[ic].toarray()[None]) > 0
+        sel, _, _ = batched_lgs(adjb, wts_ic, mask_ic)
+        on = np.nonzero(np.asarray(sel)[0] == 1)[0]
+        got |= {int(v) + ic * nf for v in on}
+        drain = jnp.minimum(q_est, jnp.asarray(
+            rates_t[None, :, ic].astype(np.float32))) \
+            * (sel == 1).astype(jnp.float32)
+        q_est = q_est - drain
+    assert got == mwis_host
