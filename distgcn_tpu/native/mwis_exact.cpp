@@ -347,6 +347,60 @@ struct Solver {
 
 
 
+    // Weight-splitting clique cover UB: repeatedly grow a maximal clique
+    // among positive-residual vertices (seeded at the max-residual vertex,
+    // extended greedily by residual), charge its minimum residual to the
+    // bound and subtract it from all members. A feasible fractional clique
+    // cover, so UB = sum of charges; much tighter than sum-of-clique-maxima
+    // when weights vary (the classic WLMC/TSM-style bound).
+    double split_cover_ub(const uint64_t* P) const {
+        static thread_local std::vector<double> r;
+        static thread_local std::vector<int> cand;
+        r.assign(g.n, 0.0);
+        cand.clear();
+        for_each(P, [&](int v) {
+            if (w[v] > 0) { r[v] = w[v]; cand.push_back(v); }
+        });
+        if (cand.empty()) return 0.0;
+        // residual-descending order refreshed lazily: process in weight
+        // order; a vertex re-enters cliques until its residual hits zero
+        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
+            return w[a] > w[b];
+        });
+        double ub = 0.0;
+        static thread_local std::vector<uint64_t> common;
+        common.assign(words, 0);
+        int live = (int)cand.size();
+        while (live > 0) {
+            // seed: first vertex (in weight order) with residual > 0
+            int seed = -1;
+            for (int v : cand)
+                if (r[v] > 1e-12) { seed = v; break; }
+            if (seed < 0) break;
+            const uint64_t* rs = g.row(seed);
+            for (int wi = 0; wi < words; ++wi) common[wi] = rs[wi] & P[wi];
+            double mn = r[seed];
+            static thread_local std::vector<int> members;
+            members.clear();
+            members.push_back(seed);
+            // extend: heaviest-residual vertices adjacent to all members
+            for (int v : cand) {
+                if (v == seed || r[v] <= 1e-12) continue;
+                if (!(common[v >> 6] & (1ULL << (v & 63)))) continue;
+                members.push_back(v);
+                mn = std::min(mn, r[v]);
+                const uint64_t* rv = g.row(v);
+                for (int wi = 0; wi < words; ++wi) common[wi] &= rv[wi];
+            }
+            ub += mn;
+            for (int v : members) {
+                r[v] -= mn;
+                if (r[v] <= 1e-12) --live;
+            }
+        }
+        return ub;
+    }
+
     // Greedy weighted clique cover UB: iterate by weight desc, first-fit into
     // cliques; UB = sum of each clique's max weight. Tight on dense cores.
     double clique_cover_ub(const uint64_t* P) const {
@@ -624,8 +678,8 @@ struct Solver {
                         word &= P[wi];
                         continue;
                     }
-                    if (pick < 0 || w[v] > w[pick]
-                        || (w[v] == w[pick] && v < pick)) {
+                    if (pick < 0 || deg > pick_deg
+                        || (deg == pick_deg && w[v] > w[pick])) {
                         pick_deg = deg;
                         pick = v;
                     }
@@ -637,12 +691,18 @@ struct Solver {
             undo();
             return;
         }
-        if (curval + clique_cover_ub(P.data()) <= best + 1e-12) {
+        // prune with the cheaper-to-tighter cascade: clique covers are tight
+        // on dense cores, the matching bound on sparse ones — take both.
+        if (curval + split_cover_ub(P.data()) <= best + 1e-12) {
+            undo();
+            return;
+        }
+        if (curval + bound(P.data()) <= best + 1e-12) {
             undo();
             return;
         }
         // periodic LP persistency: strong but costly -> shallow depths only
-        if (depth % 8 == 0) {
+        if (depth % 4 == 0) {
             double core_half = 0.0;
             std::vector<uint64_t> Pn(P);
             size_t before = cur.size();
@@ -664,8 +724,8 @@ struct Solver {
                         word &= word - 1;
                         int v = wi * 64 + b;
                         int deg = popcount_and(g.row(v), P.data(), words);
-                        if (pick < 0 || w[v] > w[pick]
-                            || (w[v] == w[pick] && v < pick)) {
+                        if (pick < 0 || deg > pick_deg
+                            || (deg == pick_deg && w[v] > w[pick])) {
                             pick_deg = deg;
                             pick = v;
                         }
