@@ -1,0 +1,327 @@
+"""Large-graph end-to-end pipeline: Pallas BSR SpMM inside the GCN forward.
+
+The reference's hot op is ``support @ (X @ W)`` (gcn/layers.py:199-208) on
+graphs of N <= ~300 nodes; the dense batched path (models/layers.py) covers
+that regime. This module is the **large-N** model path (N ~ 1e4..1e6, e.g. a
+city-scale conflict graph): the normalized adjacency is stored block-sparse
+(`ops.spmm.BsrMatrix`) and every support application in the forward runs
+through the Pallas row-grid SpMM kernel (`ops.spmm.bsr_spmm_rows`); the LGS
+solve runs in ELLPACK neighbor-list form (`ops.lgs.ell_lgs`). End-to-end:
+
+    weights -> features -> L-layer ChebGCN (BSR SpMM) -> gcn weights
+            -> ELL LGS -> schedule + utility
+
+in ONE jitted program per graph structure, mirroring `pipeline.py`'s small-
+graph closed loop.
+
+Support semantics match the reference exactly: supports are
+[I, L, L^2, ..., L^K] with L = I - normalize_adj(A) (gcn/utils.py:258-274),
+but L^k is never materialized (it densifies) — ``L^k @ y`` is computed by k
+applications of ``y - Anorm @ y``, so only Anorm (the sparsity of A itself)
+is stored.
+
+Feature semantics match `mwis_gdpg_call.py:82-97` (makestate): predict='mwis'
+-> row-normalized ones (1/F); else w/max(w) broadcast.
+
+On non-TPU backends the same pipeline runs with the XLA ELL gather SpMM
+(`ops.spmm.ell_spmm`) — numerically identical path used by the parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from distgcn_tpu.core import prep
+from distgcn_tpu.models.layers import leaky_relu02, identity
+from distgcn_tpu.ops.lgs import ell_lgs
+from distgcn_tpu.ops import spmm as spmm_mod
+from distgcn_tpu.ops.spmm import (BsrMatrix, bsr_row_ptr, ell_pack,
+                                  pallas_enabled)
+
+
+@dataclass
+class LargeGraph:
+    """A single large conflict graph, preprocessed for the device pipeline.
+
+    Anorm = normalize_adj(A) is held twice: BSR blocks for the Pallas SpMM
+    (TPU) and ELLPACK cols/vals for the gather SpMM fallback + the LGS
+    neighbor lists (the two share the sparsity pattern of A).
+    """
+    n: int                      # real node count
+    n_pad: int                  # padded (multiple of block_size)
+    nnz: int                    # directed edge count of A
+    block_size: int
+    mask: jnp.ndarray           # [n_pad] bool
+    ell_cols: jnp.ndarray       # [n_pad, K] int32
+    ell_vals: jnp.ndarray       # [n_pad, K] f32 (Anorm values; 0 = padding)
+    ell_valid: jnp.ndarray      # [n_pad, K] bool (real-edge mask)
+    bsr: Optional[BsrMatrix] = None      # TPU only
+    row_ptr: Optional[jnp.ndarray] = None
+    interpret: bool = False              # Pallas interpret mode (tests)
+
+    @property
+    def use_pallas(self) -> bool:
+        return self.bsr is not None
+
+
+def build_large_graph(adj, block_size: int = 512,
+                      use_pallas: Optional[bool] = None,
+                      interpret: bool = False,
+                      block_dtype=np.float32) -> LargeGraph:
+    """Preprocess a scipy adjacency into a `LargeGraph`.
+
+    Keep the graph locality-ordered (geometric/RCM) before calling — BSR
+    density, and with it kernel throughput, depends on it (ops/spmm.py
+    module notes).
+    """
+    adj = sp.csr_matrix(adj)
+    n = adj.shape[0]
+    anorm = sp.csr_matrix(prep.normalize_adj(adj))
+    if use_pallas is None:
+        use_pallas = pallas_enabled()
+    n_pad = -(-n // block_size) * block_size
+    cols, vals = ell_pack(anorm)
+    k = cols.shape[1]
+    cols_p = np.tile(np.arange(n_pad, dtype=np.int32)[:, None], (1, k))
+    vals_p = np.zeros((n_pad, k), np.float32)
+    cols_p[:n] = cols
+    vals_p[:n] = vals
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    g = LargeGraph(
+        n=n, n_pad=n_pad, nnz=int(adj.nnz), block_size=block_size,
+        mask=jnp.asarray(mask), ell_cols=jnp.asarray(cols_p),
+        ell_vals=jnp.asarray(vals_p), ell_valid=jnp.asarray(vals_p != 0),
+        interpret=interpret)
+    if use_pallas:
+        # block_dtype=bfloat16 halves upload + HBM block traffic at ~1e-2
+        # relative error on the GCN scores (LGS still compares f32 weights)
+        g.bsr = BsrMatrix.from_scipy(anorm, block_size, dtype=block_dtype)
+        g.row_ptr = bsr_row_ptr(g.bsr)
+    return g
+
+
+def graph_arrays(graph: LargeGraph) -> dict:
+    """The graph's device arrays as a pytree — passed to jitted programs as
+    ARGUMENTS. Never close a jit over these: closure arrays become jaxpr
+    constants, and for a city-scale BSR (GBs of blocks) the constant-laden
+    program breaks compile paths (observed: the axon remote-compile tunnel
+    rejects the request with HTTP 413)."""
+    d = {"mask": graph.mask, "ell_cols": graph.ell_cols,
+         "ell_vals": graph.ell_vals, "ell_valid": graph.ell_valid}
+    if graph.use_pallas:
+        d.update(blk_vals=graph.bsr.blk_vals, row_ptr=graph.row_ptr,
+                 blk_cols=graph.bsr.blk_cols, blk_rows=graph.bsr.blk_rows)
+    return d
+
+
+def _make_spmm(graph: LargeGraph, arrs: dict
+               ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """y -> Anorm @ y on [n_pad, F]; static config from `graph`, array data
+    from `arrs` (traced arguments)."""
+    if graph.use_pallas:
+        n_rows, bs, interp = graph.bsr.n_rows, graph.block_size, graph.interpret
+
+        def anorm_spmm(y):
+            # Mosaic requires the feature (lane) dim aligned to 128; the
+            # head layer's F=out_dim (often 1) must be padded for the kernel
+            f = y.shape[1]
+            fp = -(-f // 128) * 128
+            if fp != f:
+                y = jnp.pad(y, ((0, 0), (0, fp - f)))
+            out = spmm_mod._bsr_spmm_rows(
+                arrs["blk_vals"], arrs["row_ptr"], arrs["blk_cols"], y,
+                n_rows, bs, interpret=interp)
+            return out[:, :f] if fp != f else out
+
+        return anorm_spmm
+
+    def anorm_spmm(y):
+        return spmm_mod.ell_spmm(arrs["ell_cols"], arrs["ell_vals"], y)
+
+    return anorm_spmm
+
+
+def large_gcn_forward(graph: LargeGraph, params_list, x,
+                      hidden_act=leaky_relu02, final_act=identity,
+                      max_degree: int = 1, arrs: Optional[dict] = None
+                      ) -> jnp.ndarray:
+    """L-layer ChebGCN forward on a large graph (gcn/layers.py:199-208 per
+    layer, gcn/models.py:487-575 stacking), every support application through
+    the sparse SpMM.
+
+    params_list: [{'w_0': [Fin,Fout], 'w_1': ..., optional 'bias'}] per layer
+    (the compat/tf1_ckpt layout, also produced by `params_to_list`).
+    x: [n_pad, F] features. Pass `arrs` when calling under jit (see
+    `graph_arrays`).
+    """
+    anorm_spmm = _make_spmm(graph, arrs if arrs is not None
+                            else graph_arrays(graph))
+    hp = jax.lax.Precision.HIGHEST
+    h = x
+    nl = len(params_list)
+    for li, layer in enumerate(params_list):
+        out = jnp.matmul(h, layer["w_0"], precision=hp)     # S0 = I
+        for k in range(1, max_degree + 1):
+            y = jnp.matmul(h, layer[f"w_{k}"], precision=hp)
+            for _ in range(k):                               # L^k @ y
+                y = y - anorm_spmm(y)
+            out = out + y
+        if "bias" in layer:
+            out = out + layer["bias"]
+        h = hidden_act(out) if li < nl - 1 else final_act(out)
+    return h
+
+
+def bsr_lgs(graph: LargeGraph, arrs: dict, wts: jnp.ndarray,
+            mask: jnp.ndarray, max_rounds: Optional[int] = None):
+    """LGS over a large graph with Pallas BSR neighbor reductions.
+
+    Same rank-based rounds as `ops.lgs` (heuristics.py:77-116 with the
+    :106-111 tie-break pre-folded into ranks), but each round's two
+    neighbor reductions (remaining-rank max, winner spread) stream the
+    graph's BSR blocks (`ops.spmm._bsr_nbr_max`) instead of XLA gathers —
+    the gather-based `ell_lgs` runs ~100x slower on TPU at this scale.
+    Ranks are exact in f32 (n < 2^24). Returns (sel, util, rounds).
+    """
+    from distgcn_tpu.ops.lgs import lgs_ranks
+
+    n_rows, bs, interp = graph.bsr.n_rows, graph.block_size, graph.interpret
+    vals, rows, cols = arrs["blk_vals"], arrs["blk_rows"], arrs["blk_cols"]
+    n = wts.shape[0]
+    ranks = lgs_ranks(wts).astype(jnp.float32)
+    sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+    cap = n if max_rounds is None else int(max_rounds)
+
+    def nbr_max(x):
+        return spmm_mod._bsr_nbr_max(vals, rows, cols, x, n_rows, bs,
+                                     interpret=interp)[:n]
+
+    def cond(state):
+        sel, r = state
+        return (r < cap) & jnp.any(sel == -1)
+
+    def body(state):
+        sel, r = state
+        remain = sel == -1
+        rr = jnp.where(remain, ranks, -1.0)
+        m = nbr_max(rr)        # no-neighbor sentinel << any rank
+        win = remain & (ranks > m)
+        hit = nbr_max(win.astype(jnp.float32)) > 0.0
+        excl = remain & ~win & hit
+        sel = jnp.where(win, jnp.int8(1), sel)
+        sel = jnp.where(excl, jnp.int8(0), sel)
+        return sel, r + 1
+
+    sel, rounds = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+    util = jnp.sum(jnp.where(sel == 1, wts, 0.0))
+    return sel, util, rounds
+
+
+def params_to_list(params) -> list:
+    """ChebGCN param tree {'gc1': {...}, ...} -> ordered per-layer list."""
+    n = len(params)
+    return [params[f"gc{i + 1}"] for i in range(n)]
+
+
+def make_large_solve(graph: LargeGraph, num_layer: int,
+                     feature_size: int = 1, max_degree: int = 1,
+                     predict: str = "mwis", final_act_same: bool = False,
+                     with_baseline: bool = False):
+    """Jitted end-to-end solve(params_list, wts) on one large graph.
+
+    Returns (sel [n_pad] int8, util, greedy-baseline util or 0) — the large-N
+    analog of `pipeline.make_solve_pipeline`.
+    """
+    final_act = leaky_relu02 if final_act_same else identity
+    arrs0 = graph_arrays(graph)
+
+    @jax.jit
+    def _solve(arrs, params_list, wts):
+        mask = arrs["mask"]
+        m = mask.astype(wts.dtype)
+        if predict == "mwis":
+            feats = jnp.full((graph.n_pad, feature_size), 1.0 / feature_size,
+                             wts.dtype) * m[:, None]
+        else:
+            norm = jnp.max(jnp.abs(wts) * m) + 1e-9
+            feats = jnp.repeat((wts / norm)[:, None], feature_size, axis=1)
+            feats = feats * m[:, None]
+        out = large_gcn_forward(graph, params_list, feats,
+                                final_act=final_act, max_degree=max_degree,
+                                arrs=arrs)
+        act = out[:, 0] * m
+        gcn_wts = act * wts if predict == "mwis" else act
+        if graph.use_pallas:
+            def lgs(w):
+                return bsr_lgs(graph, arrs, w, mask)
+        else:
+            def lgs(w):
+                return ell_lgs(arrs["ell_cols"], arrs["ell_valid"], w, mask)
+        sel, _, _ = lgs(gcn_wts)
+        util = jnp.sum(jnp.where(sel == 1, wts, 0.0))
+        if not with_baseline:
+            return sel, util, jnp.zeros_like(util)
+        gsel, gutil, _ = lgs(wts * m)
+        return sel, util, gutil
+
+    def solve(params_list, wts):
+        return _solve(arrs0, params_list, wts)
+
+    solve.jitted = _solve
+    return solve
+
+
+def geometric_conflict_graph(n: int, avg_degree: float = 24.0,
+                             seed: int = 0, weight_dist: str = "uniform",
+                             order: str = "rcm"):
+    """Synthetic city-scale conflict graph with locality ordering.
+
+    Links dropped uniformly in the unit square; two links conflict when
+    closer than the radius giving the target average degree (the Poisson
+    interference model of data/wireless.py at scale). Nodes are reordered so
+    conflicts concentrate near the diagonal — the locality ordering the BSR
+    layout wants. order='rcm' (reverse Cuthill-McKee; bandwidth ~ n*r, the
+    densest blocks) or 'morton' (space-filling key; cheaper to compute,
+    sparser blocks). Returns (adj csr, wts, xy).
+    """
+    rng = np.random.default_rng(seed)
+    xy = rng.random((n, 2))
+    r = np.sqrt((avg_degree + 1) / (np.pi * n))
+    from scipy.spatial import cKDTree
+    tree = cKDTree(xy)
+    pairs = tree.query_pairs(r, output_type="ndarray")
+    data = np.ones(len(pairs), np.float32)
+    adj = sp.coo_matrix((data, (pairs[:, 0], pairs[:, 1])), shape=(n, n))
+    adj = (adj + adj.T).tocsr()
+    if order == "rcm":
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        perm = reverse_cuthill_mckee(adj, symmetric_mode=True)
+    else:  # morton
+        gx = np.minimum((xy[:, 0] * 1024).astype(np.int64), 1023)
+        gy = np.minimum((xy[:, 1] * 1024).astype(np.int64), 1023)
+
+        def _spread(v):
+            v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+            v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+            v = (v | (v << 2)) & 0x3333333333333333
+            v = (v | (v << 1)) & 0x5555555555555555
+            return v
+
+        perm = np.argsort(_spread(gx) | (_spread(gy) << 1), kind="stable")
+    adj = adj[perm][:, perm].tocsr()
+    xy = xy[perm]
+    if weight_dist == "uniform":
+        wts = rng.random(n).astype(np.float32)
+    else:
+        wts = np.abs(rng.normal(size=n)).astype(np.float32)
+    return adj, wts, xy

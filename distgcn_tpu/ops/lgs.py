@@ -120,6 +120,53 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
 batched_greedy = batched_lgs
 
 
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def ell_lgs(cols: jnp.ndarray, valid: jnp.ndarray, wts: jnp.ndarray,
+            mask: jnp.ndarray, max_rounds: Optional[int] = None
+            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LGS over a single LARGE graph in ELLPACK neighbor-list form.
+
+    The dense [B, N, N] rounds of `batched_lgs` need N^2 memory — fine for
+    conflict graphs (N ~ 1e2..1e3), impossible at N ~ 1e5. Here the graph is
+    a padded neighbor list and each round is a gather + row-max, O(N*K):
+
+      cols  [N, K] int32 neighbor ids (self-padded rows allowed)
+      valid [N, K] bool, True for real edges
+      wts   [N] weights, mask [N] bool real-node mask
+
+    Same rank-based rounds as `batched_lgs` (heuristics.py:77-116 semantics
+    with the :106-111 tie-break folded into `lgs_ranks`); returns
+    (sel [N] int8 in {-1,0,1}, util, rounds).
+    """
+    n = wts.shape[-1]
+    ranks = lgs_ranks(wts)
+    sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
+    cap = n if max_rounds is None else int(max_rounds)
+
+    def cond(state):
+        sel, r = state
+        return (r < cap) & jnp.any(sel == -1)
+
+    def body(state):
+        sel, r = state
+        remain = sel == -1
+        rr = jnp.where(remain, ranks, -1)
+        nbr_r = jnp.where(valid, rr[cols], -1)            # [N, K]
+        m = jnp.max(nbr_r, axis=-1)
+        win = remain & (ranks > m)
+        # cast to f32 before the gather-compare: int8/bool gathers relayout
+        # poorly on TPU (see ops/lgs_pallas.py Mosaic notes)
+        nb_win = jnp.where(valid, win.astype(jnp.float32)[cols], 0.0)
+        excl = remain & ~win & (jnp.max(nb_win, axis=-1) > 0)
+        sel = jnp.where(win, jnp.int8(1), sel)
+        sel = jnp.where(excl, jnp.int8(0), sel)
+        return sel, r + 1
+
+    sel, rounds = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+    util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+    return sel, util, rounds
+
+
 @jax.jit
 def lgs_round_counts(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,

@@ -81,22 +81,24 @@ class BsrMatrix:
         coo = s.tocoo()
         br = coo.row // bs
         bc = coo.col // bs
-        keys = br.astype(np.int64) * (nc // bs) + bc
-        order = np.argsort(keys, kind="stable")
-        uniq, starts = np.unique(keys[order], return_index=True)
+        nbc = nc // bs
+        keys = br.astype(np.int64) * nbc + bc
+        # every block-row gets at least one (zero) block so the revisited-
+        # output kernels always initialize their output rows — no
+        # empty-block-row caveat for callers
+        empty_rows = np.setdiff1d(np.arange(nr // bs, dtype=np.int64),
+                                  np.unique(br))
+        keys = np.concatenate([keys, empty_rows * nbc])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        inv = inv[: coo.nnz]
         nb = uniq.size
         vals = np.zeros((max(nb, 1), bs, bs), dtype=dtype)
         rows = np.zeros(max(nb, 1), dtype=np.int32)
         cols = np.zeros(max(nb, 1), dtype=np.int32)
-        starts = np.append(starts, coo.nnz)
-        for i in range(nb):
-            sel = order[starts[i]: starts[i + 1]]
-            r = int(uniq[i] // (nc // bs))
-            c = int(uniq[i] % (nc // bs))
-            rows[i] = r
-            cols[i] = c
-            vals[i, coo.row[sel] - r * bs, coo.col[sel] - c * bs] = \
-                coo.data[sel]
+        if nb:
+            rows[:nb] = (uniq // nbc).astype(np.int32)
+            cols[:nb] = (uniq % nbc).astype(np.int32)
+            vals[inv, coo.row % bs, coo.col % bs] = coo.data
         return cls(jnp.asarray(vals), jnp.asarray(rows), jnp.asarray(cols),
                    nr, nc, bs)
 
@@ -188,7 +190,7 @@ def _spmm_row_kernel(row_ptr_ref, blk_cols_ref, vals_hbm, x_hbm, o_ref,
 
         dma_v(slot, k).wait()
         dma_x(slot, k).wait()
-        acc[...] += jnp.dot(vbuf[slot], xbuf[slot],
+        acc[...] += jnp.dot(vbuf[slot].astype(jnp.float32), xbuf[slot],
                             preferred_element_type=jnp.float32,
                             precision=precision)
         return 0
@@ -214,7 +216,7 @@ def _bsr_spmm_rows(blk_vals, row_ptr, blk_cols, x, n_rows: int,
         ],
         out_specs=pl.BlockSpec((bs, f), lambda r, rp, bc: (r, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bs, bs), jnp.float32),
+            pltpu.VMEM((2, bs, bs), blk_vals.dtype),  # bf16 storage supported
             pltpu.VMEM((2, bs, f), jnp.float32),
             pltpu.VMEM((bs, f), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -276,6 +278,84 @@ def bsr_spmm_pallas(s: BsrMatrix, x: jnp.ndarray,
                      s.block_size, interpret, precision)
 
 
+def _nbr_max_kernel(blk_rows_ref, blk_cols_ref, vals_ref, x_ref, o_ref):
+    """Per nonzero block: out[r] = max over cols j with block[r,j] != 0 of
+    x[j]; max-accumulated across a row's blocks (same revisited-output
+    pattern as `_spmm_kernel`). VPU select + lane reduction, no MXU."""
+    i = pl.program_id(0)
+    row = blk_rows_ref[i]
+    prev = blk_rows_ref[jnp.maximum(i, 1) - 1]
+    is_first = jnp.logical_or(i == 0, row != prev)
+
+    @pl.when(is_first)
+    def _():
+        o_ref[...] = jnp.full_like(o_ref, _NEG_HUGE)
+
+    # arithmetic select: an i1 mask broadcast into the select relayouts the
+    # bool vector, which Mosaic rejects (see ops/lgs_pallas.py notes) — cast
+    # the edge indicator to f32 immediately instead
+    ind = (vals_ref[0] != 0).astype(jnp.float32)          # [bs, bs]
+    cand = ind * x_ref[0][None, :] + (1.0 - ind) * _NEG_HUGE
+    bm = jnp.max(cand, axis=1)                            # [bs] per-row max
+    # output block is [1, 8, bs] (Mosaic needs >=8 sublanes); broadcast the
+    # row-max across the 8 sublanes, caller reads sublane 0
+    o_ref[0] = jnp.maximum(o_ref[0], bm[None, :])
+
+
+_NEG_HUGE = -3.0e38
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_size",
+                                             "interpret"))
+def _bsr_nbr_max(blk_vals, blk_rows, blk_cols, x, n_rows: int,
+                 block_size: int, interpret: bool = False):
+    """Neighbor-max over a BSR pattern: y[i] = max_{j: S[i,j]!=0} x[j]
+    (no-neighbor rows get a very negative sentinel). x: [n_cols] f32.
+
+    This is the large-graph LGS round primitive: XLA's gather on TPU runs
+    ~0.01 Gelem/s for the ELL formulation; streaming the same BSR blocks the
+    SpMM uses turns each round into two bandwidth-bound Pallas passes.
+    """
+    nb, bs, _ = blk_vals.shape
+    nr = n_rows // bs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((1, bs), lambda i, br, bc: (0, bc[i])),
+        ],
+        out_specs=pl.BlockSpec((1, 8, bs), lambda i, br, bc: (br[i], 0, 0)),
+    )
+    out = pl.pallas_call(
+        _nbr_max_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr, 8, bs), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=nb * bs * bs,
+            bytes_accessed=nb * (bs * bs * blk_vals.dtype.itemsize
+                                 + 2 * bs * 4),
+            transcendentals=0),
+    )(blk_rows, blk_cols, blk_vals, x.reshape(1, n_rows))
+    return out[:, 0, :].reshape(n_rows)
+
+
+def bsr_neighbor_max(s: BsrMatrix, x: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """y[i] = max over structural neighbors j of x[j] (see `_bsr_nbr_max`).
+
+    NOTE (same caveat as `bsr_spmm_pallas`): block-rows with no nonzero
+    block keep uninitialized output — graph Laplacian/adjacency callers pad
+    every block-row or mask the result.
+    """
+    if x.shape[0] != s.n_cols:
+        x = jnp.pad(x, (0, s.n_cols - x.shape[0]),
+                    constant_values=_NEG_HUGE)
+    return _bsr_nbr_max(s.blk_vals, s.blk_rows, s.blk_cols, x, s.n_rows,
+                        s.block_size, interpret)
+
+
 # ---------------------------------------------------------------------------
 # ELLPACK gather fallback / oracle
 # ---------------------------------------------------------------------------
@@ -289,10 +369,11 @@ def ell_pack(s: sp.spmatrix, dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
     k = max(int(deg.max()) if n else 1, 1)
     cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, k))
     vals = np.zeros((n, k), dtype=dtype)
-    for i in range(n):
-        d = deg[i]
-        cols[i, :d] = s.indices[s.indptr[i]: s.indptr[i] + d]
-        vals[i, :d] = s.data[s.indptr[i]: s.indptr[i] + d]
+    if s.nnz:
+        rows = np.repeat(np.arange(n), deg)
+        pos = np.arange(s.nnz) - s.indptr[rows]
+        cols[rows, pos] = s.indices
+        vals[rows, pos] = s.data
     return cols, vals
 
 
