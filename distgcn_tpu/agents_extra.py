@@ -126,23 +126,144 @@ class DiverAgent(MWISSolver):
 
     def head_scores(self, state) -> np.ndarray:
         """Per-head node scores: softmax over each head's 2 logits, take the
-        'in-IS' class probability (GCN_DEEP_DIVER semantics,
-        gcn/models.py:327-361). Returns [N, diver_num]."""
+        'in-IS' class probability (GCN_DEEP_DIVER outputs_softmax,
+        gcn/models.py:398-400 — head k at the interleaved column pair
+        (2k, 2k+1), class 1 = in-IS at the odd column). Returns
+        [N, diver_num]."""
         gb = state["graph"]
         out = self._forward_fn(self.params, state["features"],
                                state["supports"], gb.mask)
         n = int(gb.nn[0])
         logits = np.asarray(out[0, :n, :])              # [N, 2*diver]
         d = self.flags.diver_num
-        pos = logits[:, d:] if logits.shape[1] >= 2 * d else logits
-        neg = logits[:, :d]
+        heads = logits[:, : 2 * d].reshape(n, d, 2)
+        neg, pos = heads[..., 0], heads[..., 1]
         z = np.exp(pos - np.maximum(pos, neg))
         zn = np.exp(neg - np.maximum(pos, neg))
         return z / (z + zn)
 
+    def _eval_heads_on_subgraph(self, sub_adj, sub_wts):
+        """One device-batched evaluation: GCN head scores on the subgraph,
+        then all diver_num guided LGS completions in a single batched_lgs
+        launch. Returns (sel [D, n] int8, scores [n, D])."""
+        n = sub_wts.size
+        state = self.makestate(sub_adj, sub_wts.reshape(-1, 1))
+        probs = self.head_scores(state)                 # [n, D]
+        gb = state["graph"]
+        d = probs.shape[1]
+        padded = np.zeros((d, gb.pad_n), dtype=np.float32)
+        padded[:, :n] = (probs * sub_wts[:, None]).T
+        adj_rep = jnp.broadcast_to(gb.adj, (d,) + gb.adj.shape[1:])
+        mask_rep = jnp.broadcast_to(gb.mask, (d, gb.pad_n))
+        sel, _, _ = batched_lgs(adj_rep, jnp.asarray(padded), mask_rep)
+        return np.asarray(sel)[:, :n], probs
+
+    def solve_mwis_bsf(self, adj_0, wts_0, max_pops: int = 16,
+                       time_limit: float = None) -> Tuple[set, float]:
+        """Best-solution-first tree search over partial states (re-spec of
+        the missing `mwis_rollout_call.solve_mwis_iterative`; queue + backoff
+        machinery visible at mwis_dqn_test.py:59-135, flags
+        runtime_config.py:19-20).
+
+        A priority queue holds partial labelings nIS_vec in {-1 remain,
+        0 excluded, 1 fixed}, ordered best-solution-first by the utility of
+        the completion that spawned them. Per pop, all diver heads are
+        evaluated in ONE device batch on the remaining subgraph
+        (`_eval_heads_on_subgraph`); each of the first `diver_out` heads
+        contributes its completion as a candidate and, with probability
+        `backoff_prob`, two children: (a) a DEEPEN child fixing the head's
+        highest-scored selected node (graph-reduction step, the
+        reduce_graph/add_rnd_q analog) and (b) a BACKOFF child excluding
+        that node (the drop-the-top branch). Children accumulate — unlike
+        the bounded 4-pass retry (`solve_mwis_iterative`), multi-node
+        exclusions are reachable, so multi-level traps are escaped.
+        """
+        import heapq
+        import time as _time
+
+        adj = sp.csr_matrix(adj_0)
+        wts = np.asarray(wts_0, dtype=np.float64).flatten()
+        n = wts.size
+        noout = min(self.flags.diver_num, self.flags.diver_out)
+        backoff = self.flags.backoff_prob
+        deadline = (_time.time() + time_limit) if time_limit else None
+        rng = self._rng
+
+        root = -np.ones(n, dtype=np.int8)
+        heap = [(-np.inf, 0, root.tobytes())]
+        seen = {root.tobytes()}
+        counter = 1
+        best_set, best_util = set(), -np.inf
+        pops = 0
+        while heap and pops < max_pops:
+            if deadline and _time.time() > deadline:
+                break
+            _, _, blob = heapq.heappop(heap)
+            nis = np.frombuffer(blob, dtype=np.int8).copy()
+            pops += 1
+            remain = nis == -1
+            fixed_idx = np.nonzero(nis == 1)[0]
+            fixed_util = float(wts[fixed_idx].sum())
+            if not remain.any():
+                if fixed_util > best_util:
+                    best_util = fixed_util
+                    best_set = set(fixed_idx.tolist())
+                continue
+            rem_idx = np.nonzero(remain)[0]
+            sub_adj = adj[rem_idx][:, rem_idx]
+            sub_wts = wts[rem_idx]
+            sel, probs = self._eval_heads_on_subgraph(sub_adj, sub_wts)
+            order = np.argsort(-probs.max(axis=0))[:noout]  # strongest heads
+            for k in order:
+                chosen_local = np.nonzero(sel[k] == 1)[0]
+                if chosen_local.size == 0:
+                    continue
+                comp = set(rem_idx[chosen_local].tolist())
+                util = fixed_util + float(wts[list(comp)].sum())
+                if util > best_util:
+                    best_util = util
+                    best_set = set(fixed_idx.tolist()) | comp
+                if rng.random() >= backoff:
+                    continue
+                # branch on the head's highest-scored selected node
+                v_local = chosen_local[np.argmax(probs[chosen_local, k])]
+                v = int(rem_idx[v_local])
+                # deepen: fix v in, exclude its neighbors
+                child = nis.copy()
+                child[v] = 1
+                nbrs = adj.indices[adj.indptr[v]: adj.indptr[v + 1]]
+                child[nbrs[child[nbrs] == -1]] = 0
+                b = child.tobytes()
+                if b not in seen:
+                    seen.add(b)
+                    heapq.heappush(heap, (-util, counter, b))
+                    counter += 1
+                # backoff: exclude v
+                child2 = nis.copy()
+                child2[v] = 0
+                b2 = child2.tobytes()
+                if b2 not in seen:
+                    seen.add(b2)
+                    heapq.heappush(heap, (-util, counter, b2))
+                    counter += 1
+        if best_util == -np.inf:
+            return set(), 0.0
+        return best_set, float(best_util)
+
+    def solve_mwis_rollout_wrap(self, adj_0, wts_0, train: bool = False,
+                                grd: float = 1.0) -> Tuple[set, float]:
+        """Route the rollout-search entry point (DGCN-RS / CGCN-RS-Seq in
+        sim/wireless.py) through the diver tree search, as the reference's
+        rollout sims route through rollout_agent.solve_mwis_iterative
+        (wireless_rollout_test.py:37-43). Small pop budget: per-timeslot
+        scheduling wants bounded latency."""
+        return self.solve_mwis_bsf(adj_0, wts_0, max_pops=4)
+
     def solve_mwis_iterative(self, adj_0, wts_0, train: bool = False,
                              grd: float = 1.0) -> Tuple[set, float]:
-        """Best-solution-first search over diver heads with backoff queue."""
+        """Single-pass diver evaluation with the bounded 4-pass backoff
+        retry (the cheap rollout path; `solve_mwis_bsf` is the full tree
+        search)."""
         adj = sp.csr_matrix(adj_0)
         wts = np.asarray(wts_0, dtype=np.float64).flatten()
         n = wts.size

@@ -85,15 +85,33 @@ def main(argv=None, max_graphs_per_epoch=None):
                 jnp.asarray(labels), gb.wts)
             losses.append(float(loss))
 
-        # eval: max-over-heads tree search quality vs stored optimal utility
-        ratios = []
+        # eval: max-over-heads tree search quality vs stored optimal utility,
+        # plus the reference's hindsight max-over-heads accuracy/F1
+        # (gcn/models.py:344-361) on labeled test instances
+        from distgcn_tpu.rl.losses import (hindsight_diver_accuracy,
+                                           hindsight_diver_f1)
+        ratios, accs, f1s = [], [], []
         for inst in test[: min(len(test), 50)]:
             _, util = agent.solve_mwis_iterative(inst.adj, inst.weights)
             ref = inst.mwis_utility or inst.greedy_utility or 1.0
             ratios.append(util / ref)
+            if inst.mwis_label is not None:
+                state = agent.makestate(inst.adj, inst.weights)
+                gb2 = state["graph"]
+                out = agent._forward_fn(agent.params, state["features"],
+                                        state["supports"], gb2.mask)
+                logits = jnp.asarray(out[0, : inst.num_nodes, :])
+                lab = jnp.asarray(np.asarray(inst.mwis_label,
+                                             np.float32).flatten())
+                accs.append(float(hindsight_diver_accuracy(
+                    logits, lab, cfg.diver_num)))
+                f1s.append(float(hindsight_diver_f1(
+                    logits, lab, cfg.diver_num)[0]))
         ratio = float(np.mean(ratios))
+        acc_s = f" Acc: {np.mean(accs):.4f} F1: {np.mean(f1s):.4f}" \
+            if accs else ""
         print(f"Epoch: {epoch} Loss: {np.mean(losses):.6f} "
-              f"Test/Opt_Ratio: {ratio:.6f} runtime: "
+              f"Test/Opt_Ratio: {ratio:.6f}{acc_s} runtime: "
               f"{time.time() - t0:.1f}s", flush=True)
         if ratio > best_ratio:
             agent.save(model_origin)

@@ -47,6 +47,22 @@ def f1_score(logits, labels, positive_class: int = 1):
     return 2 * precision * recall / jnp.maximum(precision + recall, 1e-12)
 
 
+def f1_precision_recall(logits, labels):
+    """The reference's exact my_f1 triple (gcn/metrics.py:26-43): tp/fp/fn
+    as MEANS over nodes (not counts — same ratios), precision/recall/F1 from
+    them. An epsilon guards the 0/0 cases the reference leaves as nan."""
+    correct = jnp.argmax(logits, -1) == jnp.argmax(labels, -1)
+    pos = labels[..., 1] > 0
+    neg = labels[..., 0] > 0
+    tp = jnp.mean((correct & pos).astype(jnp.float32))
+    fp = jnp.mean((~correct & neg).astype(jnp.float32))
+    fn = jnp.mean((~correct & pos).astype(jnp.float32))
+    precision = tp / jnp.maximum(tp + fp, 1e-12)
+    recall = tp / jnp.maximum(tp + fn, 1e-12)
+    f1 = 2 * precision * recall / jnp.maximum(precision + recall, 1e-12)
+    return f1, precision, recall
+
+
 def masked_softmax_cross_entropy(logits, labels, mask):
     """CE over masked nodes (gcn/metrics.py:46-53)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -65,20 +81,54 @@ def masked_accuracy(logits, labels, mask):
     return jnp.mean(correct * m)
 
 
+def diver_heads(logits, diver_num: int):
+    """Reference diver head layout (gcn/models.py:330-332, :398-400): head k
+    occupies the INTERLEAVED column pair (2k, 2k+1) — class 0 (out of IS) at
+    even, class 1 (in IS) at odd columns. Returns [..., diver, 2]."""
+    return logits[..., : 2 * diver_num].reshape(
+        logits.shape[:-1] + (diver_num, 2))
+
+
 def hindsight_diver_ce(logits, labels01, node_weights, diver_num: int):
     """GCN_DEEP_DIVER hindsight loss (gcn/models.py:327-334): the 2*diver
-    logits form diver_num (neg, pos) heads; each head incurs a weighted CE
-    against the 0/1 IS labels; only the minimum-loss head counts.
+    logits form diver_num (neg, pos) heads at interleaved column pairs
+    (`diver_heads`); each head incurs a weighted CE against the 0/1 IS
+    labels; only the minimum-loss head counts.
 
     logits: [N, 2*diver]; labels01: [N] in {0,1}; node_weights: [N].
     """
     onehot = jnp.stack([1.0 - labels01, labels01], axis=-1)   # [N, 2]
-    losses = []
-    for k in range(diver_num):
-        head = jnp.stack([logits[:, k], logits[:, diver_num + k]], axis=-1)
-        losses.append(weighted_softmax_cross_entropy(head, onehot,
-                                                     node_weights))
+    heads = diver_heads(logits, diver_num)                    # [N, D, 2]
+    losses = [weighted_softmax_cross_entropy(heads[:, k], onehot,
+                                             node_weights)
+              for k in range(diver_num)]
     return jnp.min(jnp.stack(losses))
+
+
+def hindsight_diver_accuracy(logits, labels01, diver_num: int):
+    """Max-over-heads accuracy (gcn/models.py:344-349): evaluate every
+    diver head's argmax accuracy against the labels; report the best."""
+    onehot = jnp.stack([1.0 - labels01, labels01], axis=-1)
+    heads = diver_heads(logits, diver_num)
+    accs = [accuracy(heads[:, k], onehot) for k in range(diver_num)]
+    return jnp.max(jnp.stack(accs))
+
+
+def hindsight_diver_f1(logits, labels01, diver_num: int):
+    """Max-over-heads F1/precision/recall (gcn/models.py:351-361): each
+    metric maxed over heads INDEPENDENTLY, exactly as the reference's
+    per-metric reduce_max chain does (the reported triple need not come
+    from a single head). Returns (f1, precision, recall)."""
+    onehot = jnp.stack([1.0 - labels01, labels01], axis=-1)
+    heads = diver_heads(logits, diver_num)
+    f1s, precs, recs = [], [], []
+    for k in range(diver_num):
+        f1, p, r = f1_precision_recall(heads[:, k], onehot)
+        f1s.append(f1)
+        precs.append(p)
+        recs.append(r)
+    return (jnp.max(jnp.stack(f1s)), jnp.max(jnp.stack(precs)),
+            jnp.max(jnp.stack(recs)))
 
 
 def gcn_dqn_loss(outputs, labels, diver_num: int):

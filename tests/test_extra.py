@@ -58,6 +58,63 @@ def test_diver_agent_iterative(rng):
     assert util > 0
 
 
+def _two_star_trap():
+    """Adversarial instance: two disjoint stars, centers weight 10, four
+    leaves of weight 3 each. Score-guided LGS picks both centers (util 20);
+    the optimum is all leaves (util 24) and requires excluding BOTH centers
+    simultaneously — unreachable for the single-drop 4-pass backoff, which
+    re-drops from a fresh weight copy each pass."""
+    n = 10
+    a = np.zeros((n, n), np.float32)
+    for c, leaves in ((0, range(1, 5)), (5, range(6, 10))):
+        for l in leaves:
+            a[c, l] = a[l, c] = 1.0
+    w = np.full(n, 3.0)
+    w[0] = w[5] = 10.0
+    return sp.csr_matrix(a), w
+
+
+def test_bsf_search_beats_bounded_backoff():
+    """The best-solution-first queue (solve_mwis_bsf) escapes the two-level
+    trap; the bounded 4-pass backoff cannot (VERDICT r1 item 6)."""
+    cfg = small_cfg(num_layer=2, diver_num=4, backoff_prob=1.0,
+                    diver_out=4, hidden1=4)
+    agent = DiverAgent(cfg, seed=0)
+    # zero the final layer -> all logits 0 -> every head scores 0.5:
+    # guided LGS == plain LGS on w, deterministic trap
+    import jax.numpy as jnp
+    last = f"gc{cfg.num_layer}"
+    agent.params = dict(agent.params)
+    agent.params[last] = {k: jnp.zeros_like(v)
+                          for k, v in agent.params[last].items()}
+    a, w = _two_star_trap()
+
+    sets, utils = [], []
+    for seed in range(5):
+        agent._rng = np.random.default_rng(seed)
+        s, u = agent.solve_mwis_iterative(a, w)
+        check_is(a, s)
+        sets.append(s)
+        utils.append(u)
+    assert max(utils) < 24.0   # bounded backoff never reaches the optimum
+
+    agent._rng = np.random.default_rng(0)
+    s, u = agent.solve_mwis_bsf(a, w, max_pops=32)
+    check_is(a, s)
+    assert u == 24.0           # bsf finds it
+    assert s == set(range(1, 5)) | set(range(6, 10))
+
+
+def test_bsf_routes_rollout_entry(rng):
+    """DGCN-RS / CGCN-RS-Seq route through the tree search for DiverAgent."""
+    agent = DiverAgent(small_cfg(num_layer=2, diver_num=2, backoff_prob=0.5))
+    a = random_graph(rng, 30, 0.12)
+    w = rng.random(30)
+    mwis, util = agent.solve_mwis_rollout_wrap(a, w)
+    check_is(a, mwis)
+    assert util > 0
+
+
 def test_lp_edge_relax_bounds(rng):
     a = random_graph(rng, 40, 0.1)
     w = rng.random(40)

@@ -41,14 +41,33 @@ def test_hindsight_min_takes_best_head(rng):
     n, d = 8, 3
     labels = rng.integers(0, 2, n).astype(np.float32)
     w = np.ones(n, np.float32)
-    # head 1 perfectly confident & correct; others random
+    # head 1 perfectly confident & correct; others random. Reference layout:
+    # head k at the interleaved column pair (2k, 2k+1) (gcn/models.py:330).
     logits = rng.standard_normal((n, 2 * d)).astype(np.float32)
-    logits[:, 1] = -100 * (2 * labels - 1)        # neg head k=1
-    logits[:, d + 1] = 100 * (2 * labels - 1)     # pos head k=1
+    logits[:, 2] = -100 * (2 * labels - 1)        # neg logit, head k=1
+    logits[:, 3] = 100 * (2 * labels - 1)         # pos logit, head k=1
     loss = float(losses.hindsight_diver_ce(jnp.asarray(logits),
                                            jnp.asarray(labels),
                                            jnp.asarray(w), d))
     assert loss < 1e-4
+    # max-over-heads metrics (gcn/models.py:344-361) pick the perfect head
+    acc = float(losses.hindsight_diver_accuracy(jnp.asarray(logits),
+                                                jnp.asarray(labels), d))
+    assert acc == 1.0
+    f1, prec, rec = losses.hindsight_diver_f1(jnp.asarray(logits),
+                                              jnp.asarray(labels), d)
+    if labels.sum() > 0:          # F1 defined only with positives present
+        assert float(f1) == 1.0 and float(prec) == 1.0 and float(rec) == 1.0
+
+
+def test_f1_precision_recall_triple():
+    logits = jnp.asarray([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0], [0.0, 1.0]])
+    labels = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0], [0.0, 1.0]])
+    f1, p, r = losses.f1_precision_recall(logits, labels)
+    # tp=2 (rows 1,3), fp=0, fn=1 (row 2) -> P=1, R=2/3, F1=0.8
+    assert abs(float(p) - 1.0) < 1e-6
+    assert abs(float(r) - 2.0 / 3.0) < 1e-6
+    assert abs(float(f1) - 0.8) < 1e-6
 
 
 def test_gcn_dqn_loss_min_over_heads(rng):
