@@ -1,0 +1,138 @@
+"""Worker for tests/test_multiprocess.py: joins a 2-process CPU cluster and
+runs the sharded paths over the GLOBAL 8-device mesh, asserting equality
+with locally-computed single-process results. Run via:
+
+    DISTGCN_COORDINATOR=localhost:PORT DISTGCN_NUM_PROCESSES=2 \
+    DISTGCN_PROCESS_ID=i XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+    python tests/mp_worker.py
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from distgcn_tpu.parallel import distributed as dist  # noqa: E402
+
+assert dist.initialize(), "DISTGCN_* env not set"
+
+import numpy as np                                    # noqa: E402
+import jax.numpy as jnp                               # noqa: E402
+from jax.sharding import PartitionSpec as P           # noqa: E402
+
+from distgcn_tpu.core.graph import GraphBatch         # noqa: E402
+from distgcn_tpu.models.gcn import make_model_from_config  # noqa: E402
+from distgcn_tpu.parallel import halo                 # noqa: E402
+from distgcn_tpu.parallel.mesh import (make_mesh, make_sharded_solve,
+                                       make_sharded_train_step)  # noqa: E402
+from distgcn_tpu.pipeline import make_solve_pipeline  # noqa: E402
+from distgcn_tpu.rl.train import make_optimizer       # noqa: E402
+from distgcn_tpu.solvers.greedy import local_greedy_search  # noqa: E402
+from distgcn_tpu.utils.config import Config           # noqa: E402
+
+
+def main():
+    pid, nproc, nlocal, nglobal = dist.process_info()
+    assert nproc == 2 and nglobal == 8, (pid, nproc, nlocal, nglobal)
+
+    rng = np.random.default_rng(0)   # same stream on every process
+
+    # ---- 1. data-parallel solve over the global mesh vs local pipeline
+    cfg = Config(feature_size=1, hidden1=8, num_layer=2, diver_num=1,
+                 max_degree=1, predict="mwis", pad_to=64, epsilon=0.0)
+    model = make_model_from_config(cfg, "gcn_dqn")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 1)),
+                        jnp.zeros((1, 2, 64, 64)))["params"]
+    insts = []
+    for _ in range(8):
+        n = int(rng.integers(20, 60))
+        a = (rng.random((n, n)) < 0.1).astype(np.float32)
+        a = np.triu(a, 1)
+        insts.append((a + a.T, rng.random(n).astype(np.float32)))
+    import scipy.sparse as sp
+    gb = GraphBatch.from_scipy([sp.csr_matrix(a) for a, _ in insts],
+                               [w for _, w in insts], pad_to=64)
+
+    mesh = make_mesh(n_data=8, n_model=1)      # global 8 devices, 2 procs
+    solve = make_sharded_solve(model, cfg, mesh)
+    gadj = dist.host_to_global(mesh, P("data"), np.asarray(gb.adj))
+    gwts = dist.host_to_global(mesh, P("data"), np.asarray(gb.wts))
+    gmask = dist.host_to_global(mesh, P("data"), np.asarray(gb.mask))
+    gparams = jax.tree_util.tree_map(
+        lambda x: dist.host_to_global(mesh, P(), np.asarray(x)), params)
+    sel, util, gutil = solve(gparams, gadj, gwts, gmask)
+    util_g = dist.gather_global(util)
+
+    local = make_solve_pipeline(model, cfg)
+    _, util_l, _ = local(params, gb.adj, gb.wts, gb.mask)
+    np.testing.assert_allclose(util_g, np.asarray(util_l), rtol=1e-5)
+    print(f"[{pid}] sharded solve OK", flush=True)
+
+    # ---- 2. sharded train step vs local jit step (same optimizer/update)
+    optimizer = make_optimizer(1e-3, 1.0)
+    opt_state = optimizer.init(params)
+    labels = rng.random((8, 64, 1)).astype(np.float32)
+    step = make_sharded_train_step(model, cfg, optimizer, mesh)
+    gopt = jax.tree_util.tree_map(
+        lambda x: dist.host_to_global(mesh, P(), np.asarray(x)), opt_state)
+    glabels = dist.host_to_global(mesh, P("data"), labels)
+    gmaskf = dist.host_to_global(mesh, P("data"),
+                                 np.asarray(gb.mask, np.float32))
+    p2, _, loss2 = step(gparams, gopt, gadj, gwts, gmaskf, glabels)
+
+    # local single-process reference of the same math
+    from distgcn_tpu.agents import build_state_arrays
+    import optax
+
+    def loss_fn(p):
+        feats, sups = build_state_arrays(gb.adj, gb.wts, gb.mask,
+                                         cfg.feature_size, cfg.max_degree,
+                                         cfg.predict, "gdpg")
+        out = model.apply({"params": p}, feats, sups)
+        err = (out[..., :1] - labels) ** 2
+        maskf = np.asarray(gb.mask, np.float32)
+        mse = jnp.sum(err[..., 0] * maskf, axis=-1) / jnp.maximum(
+            jnp.sum(maskf, axis=-1), 1.0)
+        loss = jnp.mean(jnp.sqrt(mse))
+        l2 = sum(jnp.sum(v ** 2) / 2.0
+                 for v in jax.tree_util.tree_leaves(p["gc1"]))
+        return loss + cfg.weight_decay * l2
+
+    loss1, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    upd, _ = optimizer.update(grads, opt_state, params)
+    p1 = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(float(dist.gather_global(loss2)),
+                               float(loss1), rtol=1e-5)
+    for k in p1:
+        for kk in p1[k]:
+            np.testing.assert_allclose(
+                dist.gather_global(p2[k][kk]), np.asarray(p1[k][kk]),
+                rtol=1e-5, atol=1e-7)
+    print(f"[{pid}] sharded train step OK", flush=True)
+
+    # ---- 3. giant-graph sharded LGS (ring ppermute across processes)
+    n = 256
+    a = (rng.random((n, n)) < 0.05).astype(np.float32)
+    a = np.triu(a, 1)
+    a = a + a.T
+    w = rng.random(n).astype(np.float32)
+    gmesh = dist.global_mesh(("graph",))
+    lgs = halo.make_sharded_lgs(gmesh, n)
+    ga = dist.host_to_global(gmesh, P("graph", None), a)
+    gw = dist.host_to_global(gmesh, P("graph"), w)
+    gm = dist.host_to_global(gmesh, P("graph"), np.ones(n, bool))
+    sel, _ = lgs(ga, gw, gm)
+    sel_full = dist.gather_global(sel)
+    ref_set, _ = local_greedy_search(sp.csr_matrix(a), w)
+    assert set(np.nonzero(sel_full == 1)[0].tolist()) == ref_set
+    print(f"[{pid}] sharded LGS OK", flush=True)
+
+    print(f"[{pid}] WORKER_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
