@@ -192,40 +192,35 @@ def _lgs_rounds(adj, wts, max_rounds=None, want_stats=False):
     while (sel == -1).any() and rounds < limit:
         remain = sel == -1
         rem_idx = np.nonzero(remain)[0]
-        # adjacency restricted to remaining nodes
-        sub = adj[rem_idx][:, rem_idx]
-        sub = sub.tocsr()
+        # adjacency restricted to remaining nodes (rows/cols in rem order)
+        sub = adj[rem_idx][:, rem_idx].tocsr()
         wr = w[rem_idx]
         deg = np.diff(sub.indptr)
-        # neighbor max weight (restricted); -inf where no remaining neighbor
+        nonempty = deg > 0
+        # per-row segmented max of neighbor weights / min id among the tied
+        # (reduceat is undefined on empty segments -> restrict to nonempty)
         nbr_max = np.full(rem_idx.size, -np.inf)
-        # min id (original index) among tied neighbors
-        win = np.zeros(rem_idx.size, dtype=bool)
-        for i in range(rem_idx.size):
-            nbrs = sub.indices[sub.indptr[i]: sub.indptr[i + 1]]
-            if nbrs.size == 0:
-                win[i] = True
-                continue
-            wn = wr[nbrs]
-            m = wn.max()
-            nbr_max[i] = m
-            if wr[i] > m:
-                win[i] = True
-            elif wr[i] == m:
-                tied_min = rem_idx[nbrs[wn == m]].min()
-                if rem_idx[i] < tied_min:
-                    win[i] = True
+        tied_min = np.full(rem_idx.size, n, dtype=np.int64)
+        if sub.nnz:
+            nbr_w = wr[sub.indices]
+            starts = sub.indptr[:-1][nonempty]
+            nbr_max[nonempty] = np.maximum.reduceat(nbr_w, starts)
+            row_of = np.repeat(np.arange(rem_idx.size), deg)
+            nbr_ids = rem_idx[sub.indices].astype(np.int64)
+            tied_ids = np.where(nbr_w == nbr_max[row_of], nbr_ids, n)
+            tied_min[nonempty] = np.minimum.reduceat(tied_ids, starts)
+        # spec rule (heuristics.py:106-111): win iff no remaining neighbor,
+        # or w > all neighbor w, or tied at the max with the smallest id
+        win = (~nonempty | (wr > nbr_max)
+               | ((wr == nbr_max) & (rem_idx < tied_min)))
         winners = rem_idx[win]
         sel[winners] = 1
-        # exclude neighbors of winners (global adjacency, remaining only)
+        # exclude remaining neighbors of winners (one SpMV on the full adj)
         if winners.size:
-            nbr_mask = np.zeros(n, dtype=bool)
-            for v in winners:
-                nbrs = adj.indices[adj.indptr[v]: adj.indptr[v + 1]]
-                nbrs = nbrs[remain[nbrs]]
-                nbr_mask[nbrs] = True
-            nbr_mask &= sel != 1  # a winner is never excluded
-            sel[nbr_mask] = 0
+            win_vec = np.zeros(n)
+            win_vec[winners] = 1.0
+            hit = np.asarray(adj @ win_vec).flatten() > 0
+            sel[hit & remain & (sel != 1)] = 0
         if want_stats:
             full_deg = np.zeros(n)
             full_deg[rem_idx] = deg
