@@ -48,6 +48,9 @@ def main(argv=None, agent=None, max_networks: int = 20):
     extra.add_argument("--benchmark", default="exact",
                        choices=["exact", "greedy"])
     extra.add_argument("--device_loop", type=int, default=0)
+    # per-slot online training (wireless_dqn_test.py:339-344): memorize every
+    # scheduled slot, replay(199) + checkpoint after each (load, instance)
+    extra.add_argument("--train", type=int, default=0)
     ns, _ = extra.parse_known_args(argv)
 
     n_ch = cfg.num_channels
@@ -57,9 +60,9 @@ def main(argv=None, agent=None, max_networks: int = 20):
     if ns.device_loop:
         return main_device_loop(cfg, ns, agent, max_networks)
 
+    model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     if agent is None and any(a.startswith(("DGCN", "CGCN")) for a in algolist):
         agent = DQNAgent(cfg, model_family="gcn_dqn")
-        model_origin = find_model_folder(cfg, "dqn", ns.model_root)
         if not agent.load(model_origin):
             print(f"Unable to load {model_origin} — using current params")
 
@@ -109,7 +112,12 @@ def main(argv=None, agent=None, max_networks: int = 20):
                     continue
                 t0 = time.time()
                 metrics = run_instance(adj_gk, nflows, load, treeseed,
-                                       algolist, params, agent, adj_list)
+                                       algolist, params, agent, adj_list,
+                                       train=bool(ns.train))
+                if ns.train and agent is not None:
+                    loss = agent.replay(199)
+                    if loss is not None and not np.isnan(loss):
+                        agent.save(model_origin)
                 rows = []
                 for algo, mvals in metrics.items():
                     row = {"graph": seed, "seed": treeseed, "load": load,

@@ -81,15 +81,17 @@ def make_sharded_gcn_forward(mesh: Mesh, n: int, feature_size: int,
                              params_list, max_degree: int = 1):
     """Multi-layer ChebGCN forward over a row-partitioned graph.
 
-    params_list: [{'w_0': [Fin,Fout], 'w_1': ..., optional 'bias'}] per layer
-    (the compat/tf1_ckpt layout). Supports are [I, L] with L = I - norm(A)
-    computed on the partitioned adjacency (degree is a row property, so
-    normalization needs only a column-scale broadcast: D^-1/2 A D^-1/2).
+    params_list: [{'w_0': [Fin,Fout], ..., 'w_K', optional 'bias'}] per layer
+    (the compat/tf1_ckpt layout). Supports are [I, L, L^2, .., L^K] with
+    L = I - norm(A) (gcn/utils.py:258-274) computed on the partitioned
+    adjacency (degree is a row property, so normalization needs only a
+    column-scale broadcast: D^-1/2 A D^-1/2); ``L^k @ y`` runs as k ring
+    sweeps of ``y - Anorm @ y`` — the power matrix is never materialized.
+    K = max_degree; K>1 checkpoints (the cheb2 zoo entries) run sharded.
     Returns jitted forward(adj_sharded, deg_inv_sqrt_full, x_sharded).
     """
     d = mesh.shape[AXIS]
     n_loc = n // d
-    spmm = None  # ring built inline per layer
 
     def local_fn(a_loc, dis_full, x_loc):
         # a_loc: [n_loc, N] raw 0/1 adjacency rows; dis_full: [N] replicated
@@ -97,27 +99,32 @@ def make_sharded_gcn_forward(mesh: Mesh, n: int, feature_size: int,
         row_scale = jax.lax.dynamic_slice(dis_full, (my * n_loc,), (n_loc,))
         lnorm = a_loc * row_scale[:, None] * dis_full[None, :]
 
-        h = x_loc
-        for li, layer in enumerate(params_list):
-            pre0 = jnp.dot(h, layer["w_0"],
-                           preferred_element_type=jnp.float32)
-            pre1 = jnp.dot(h, layer["w_1"],
-                           preferred_element_type=jnp.float32)
-            # supports: I @ pre0 + (I - Lnorm_adj) ... reference: S0=I, S1=L
-            # L @ pre1 = pre1 - Anorm @ pre1 ; Anorm @ pre1 via ring
+        def ring_anorm(y):
+            # Anorm @ y over the ring: each step multiplies the local column
+            # panel against the currently-held shard, then permutes it on
             def step(k, carry):
-                x_shard, y = carry
-                src = jnp.mod(my - k, d)  # shard held at step k came from my-k
+                x_shard, acc = carry
+                src = jnp.mod(my - k, d)  # shard at step k came from my-k
                 panel = jax.lax.dynamic_slice(
                     lnorm, (0, src * n_loc), (n_loc, n_loc))
-                y = y + jnp.dot(panel, x_shard,
-                                preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(panel, x_shard,
+                                    preferred_element_type=jnp.float32)
                 x_shard = jax.lax.ppermute(x_shard, AXIS, _ring_perm(d))
-                return (x_shard, y)
+                return (x_shard, acc)
 
-            _, anorm_pre = jax.lax.fori_loop(0, d, step,
-                                             (pre1, jnp.zeros_like(pre1)))
-            out = pre0 + (pre1 - anorm_pre)
+            _, acc = jax.lax.fori_loop(0, d, step, (y, jnp.zeros_like(y)))
+            return acc
+
+        h = x_loc
+        for li, layer in enumerate(params_list):
+            out = jnp.dot(h, layer["w_0"],
+                          preferred_element_type=jnp.float32)   # S0 = I
+            for k in range(1, max_degree + 1):
+                y = jnp.dot(h, layer[f"w_{k}"],
+                            preferred_element_type=jnp.float32)
+                for _ in range(k):                               # L^k @ y
+                    y = y - ring_anorm(y)
+                out = out + y
             if "bias" in layer:
                 out = out + layer["bias"]
             if li < len(params_list) - 1:

@@ -69,6 +69,39 @@ def test_sharded_gcn_forward_matches_host(mesh8, rng):
     np.testing.assert_allclose(np.asarray(y), h, atol=2e-3)
 
 
+def test_sharded_gcn_forward_cheb2_matches_host(mesh8, rng):
+    """K=2 supports (cheb2 zoo family) through the ring forward."""
+    n = 128
+    a_sp = random_graph(rng, n, 0.08)
+    adj = a_sp.toarray().astype(np.float32)
+    deg = adj.sum(1)
+    dis = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-30)), 0.0) \
+        .astype(np.float32)
+    params = [
+        {"w_0": rng.standard_normal((1, 8)).astype(np.float32),
+         "w_1": rng.standard_normal((1, 8)).astype(np.float32),
+         "w_2": rng.standard_normal((1, 8)).astype(np.float32)},
+        {"w_0": rng.standard_normal((8, 1)).astype(np.float32),
+         "w_1": rng.standard_normal((8, 1)).astype(np.float32),
+         "w_2": rng.standard_normal((8, 1)).astype(np.float32)},
+    ]
+    x = np.ones((n, 1), np.float32)
+    fwd = make_sharded_gcn_forward(mesh8, n, 1, params, max_degree=2)
+    with mesh8:
+        sh = NamedSharding(mesh8, P("graph", None))
+        rep = NamedSharding(mesh8, P())
+        y = fwd(jax.device_put(adj, sh), jax.device_put(dis, rep),
+                jax.device_put(x, sh))
+    sup = prep.simple_polynomials(a_sp, 2)
+    h = x
+    for li, layer in enumerate(params):
+        out = sum(sup[k] @ (h @ layer[f"w_{k}"]) for k in range(3))
+        if li < len(params) - 1:
+            out = np.where(out > 0, out, 0.2 * out)
+        h = np.asarray(out, np.float32)
+    np.testing.assert_allclose(np.asarray(y), h, atol=5e-3)
+
+
 def test_sharded_lgs_matches_host(mesh8, rng):
     from distgcn_tpu.solvers.greedy import local_greedy_search
     n = 128
