@@ -356,6 +356,92 @@ def bsr_neighbor_max(s: BsrMatrix, x: jnp.ndarray,
                         s.block_size, interpret)
 
 
+def _nbr_max_row_kernel(row_ptr_ref, blk_cols_ref, vals_hbm, x_hbm, o_ref,
+                        vbuf, xbuf, acc, sem_v, sem_x, *, bs):
+    """Row-grid neighbor-max: one block-ROW per grid step, blocks streamed
+    with double-buffered DMA (mirrors `_spmm_row_kernel`). Rows with no
+    blocks emit the -HUGE sentinel — safe for per-panel max-accumulation
+    (the block-grid `_nbr_max_kernel` leaves such rows uninitialized)."""
+    r = pl.program_id(0)
+    start = row_ptr_ref[r]
+    nblk = row_ptr_ref[r + 1] - start
+
+    def dma_v(slot, k):
+        return pltpu.make_async_copy(vals_hbm.at[start + k], vbuf.at[slot],
+                                     sem_v.at[slot])
+
+    def dma_x(slot, k):
+        c = blk_cols_ref[start + k]
+        return pltpu.make_async_copy(x_hbm.at[:, pl.ds(c * bs, bs)],
+                                     xbuf.at[slot], sem_x.at[slot])
+
+    @pl.when(nblk > 0)
+    def _():
+        dma_v(0, 0).start()
+        dma_x(0, 0).start()
+
+    acc[...] = jnp.full_like(acc, _NEG_HUGE)
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        nxt = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < nblk)
+        def _():
+            dma_v(nxt, k + 1).start()
+            dma_x(nxt, k + 1).start()
+
+        dma_v(slot, k).wait()
+        dma_x(slot, k).wait()
+        ind = (vbuf[slot] != 0).astype(jnp.float32)
+        cand = ind * xbuf[slot] + (1.0 - ind) * _NEG_HUGE
+        bm = jnp.max(cand, axis=1)                       # [bs] per-row max
+        acc[...] = jnp.maximum(acc[...], bm[None, :])
+        return 0
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+    o_ref[0] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_size",
+                                             "interpret"))
+def _bsr_nbr_max_rows(blk_vals, row_ptr, blk_cols, x, n_rows: int,
+                      block_size: int, interpret: bool = False):
+    """Row-grid `_bsr_nbr_max` (empty rows -> sentinel, never uninit).
+    x: [n_cols] f32; returns [n_rows] f32."""
+    nb, bs, _ = blk_vals.shape
+    nr = n_rows // bs
+    n_cols = x.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # vals stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 8, bs), lambda r, rp, bc: (r, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, bs), blk_vals.dtype),
+            pltpu.VMEM((2, 1, bs), jnp.float32),
+            pltpu.VMEM((8, bs), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_nbr_max_row_kernel, bs=bs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr, 8, bs), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=nb * bs * bs,
+            bytes_accessed=nb * (bs * bs * blk_vals.dtype.itemsize
+                                 + 2 * bs * 4),
+            transcendentals=0),
+    )(row_ptr, blk_cols, blk_vals, x.reshape(1, n_cols))
+    return out[:, 0, :].reshape(n_rows)
+
+
 # ---------------------------------------------------------------------------
 # ELLPACK gather fallback / oracle
 # ---------------------------------------------------------------------------

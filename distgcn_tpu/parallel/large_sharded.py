@@ -1,0 +1,244 @@
+"""Giant-graph scale-out: BSR panels + Pallas kernels over a device ring.
+
+Combines `large.py` (single-chip Pallas BSR model path) with the ring
+pattern of `parallel/halo.py`: the normalized adjacency's BSR blocks are
+partitioned into a [D, D] grid of panels — device d owns block-row slab d,
+panel (d, s) holds its blocks whose block-column falls in slab s. Feature
+shards travel the ring (`jax.lax.ppermute` over ICI); at ring step k each
+device multiplies (or neighbor-max-reduces) its panel against the shard it
+currently holds, so compute overlaps the permute and peak memory is
+N*F/D + its slab of blocks. This is the giant-graph end-to-end demo of
+SURVEY §2.5's SP analog: support build -> L-layer GCN forward -> LGS,
+everything sharded, the per-panel work in the Pallas kernels
+(`ops.spmm._bsr_spmm_rows` / `_bsr_nbr_max_rows`).
+
+The reference never partitions a graph (largest ~300 nodes,
+heuristics.py:77-116 is a per-node protocol *cost model*); this module is
+the TPU-native scale-out axis for conflict graphs too big for one chip's
+HBM.
+
+CPU tests run the same code with tiny blocks in Pallas interpret mode
+(shard_map needs ``check_vma=False`` for pallas_call outputs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from distgcn_tpu.core import prep
+from distgcn_tpu.models.layers import leaky_relu02, identity
+from distgcn_tpu.ops import spmm as spmm_mod
+
+AXIS = "graph"
+_NEG_HUGE = spmm_mod._NEG_HUGE
+
+
+def _ring_perm(d: int):
+    return [(i, (i + 1) % d) for i in range(d)]
+
+
+@dataclass
+class ShardedLargeGraph:
+    """BSR panels of Anorm partitioned [D, D]; slab d = rows of device d."""
+    n: int            # real node count
+    n_pad: int        # multiple of d * block_size
+    n_loc: int        # n_pad // d
+    d: int
+    block_size: int
+    nb_max: int       # per-panel block count (padded uniform)
+    # [D, D, nb_max, bs, bs] / [D, D, nr_loc+1] / [D, D, nb_max]
+    vals: np.ndarray
+    rptr: np.ndarray
+    cols: np.ndarray
+    mask: np.ndarray  # [n_pad] bool
+    interpret: bool = False
+
+
+def shard_large_graph(adj, n_devices: int, block_size: int = 512,
+                      interpret: bool = False,
+                      block_dtype=np.float32) -> ShardedLargeGraph:
+    """Partition normalize_adj(A) into the [D, D] panel grid."""
+    adj = sp.csr_matrix(adj)
+    n = adj.shape[0]
+    bs, d = block_size, n_devices
+    n_pad = -(-n // (bs * d)) * (bs * d)
+    nr_loc = n_pad // (bs * d)
+    anorm = sp.coo_matrix(prep.normalize_adj(adj))
+    br = anorm.row // bs
+    bc = anorm.col // bs
+    pr, ps = br // nr_loc, bc // nr_loc           # panel coordinates
+    lbr, lbc = br % nr_loc, bc % nr_loc           # block ids local to panel
+    key = ((pr * d + ps) * nr_loc + lbr) * nr_loc + lbc
+    uniq, inv = np.unique(key, return_inverse=True)
+    nb_per_panel = np.bincount(uniq // (nr_loc * nr_loc), minlength=d * d)
+    nb_max = max(int(nb_per_panel.max()), 1)
+    vals = np.zeros((d, d, nb_max, bs, bs), dtype=block_dtype)
+    cols = np.zeros((d, d, nb_max), np.int32)
+    rptr = np.zeros((d, d, nr_loc + 1), np.int32)
+    # position of each unique block within its panel
+    panel_of = uniq // (nr_loc * nr_loc)
+    pos_in_panel = np.zeros(uniq.size, np.int64)
+    counts = np.zeros(d * d, np.int64)
+    for i, p in enumerate(panel_of):              # uniq is sorted by panel
+        pos_in_panel[i] = counts[p]
+        counts[p] += 1
+    u_pr = panel_of // d
+    u_ps = panel_of % d
+    u_lbr = (uniq // nr_loc) % nr_loc
+    u_lbc = uniq % nr_loc
+    cols[u_pr, u_ps, pos_in_panel] = u_lbc.astype(np.int32)
+    vals[u_pr[inv], u_ps[inv], pos_in_panel[inv],
+         anorm.row % bs, anorm.col % bs] = anorm.data
+    for p in range(d * d):
+        sel = panel_of == p
+        cnt = np.bincount(u_lbr[sel], minlength=nr_loc)
+        rptr[p // d, p % d] = np.concatenate(
+            [[0], np.cumsum(cnt)]).astype(np.int32)
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    return ShardedLargeGraph(n=n, n_pad=n_pad, n_loc=n_pad // d, d=d,
+                             block_size=bs, nb_max=nb_max, vals=vals,
+                             rptr=rptr, cols=cols, mask=mask,
+                             interpret=interpret)
+
+
+def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
+                             num_layer: int, feature_size: int = 1,
+                             max_degree: int = 1, predict: str = "mwis",
+                             final_act_same: bool = False):
+    """Jitted sharded solve(vals, rptr, cols, params_list, wts, mask) on the
+    `graph`-axis mesh: features -> L-layer GCN (ring BSR SpMM) ->
+    rank-based LGS (ring BSR neighbor-max rounds) -> (sel, util).
+
+    Array arguments arrive sharded P(AXIS) on their leading device axis
+    (use `shard_arrays`); params replicated. wts/mask/sel are [n_pad]
+    sharded P(AXIS).
+    """
+    d = graph.d
+    n_loc = graph.n_loc
+    bs, interp = graph.block_size, graph.interpret
+    final_act = leaky_relu02 if final_act_same else identity
+    hp = jax.lax.Precision.HIGHEST
+
+    def local_fn(vals, rptr, cols, params_list, wts_loc, mask_loc):
+        # leading panel axis is sharded away: [D, nb, bs, bs] etc.
+        vals, rptr, cols = vals[0], rptr[0], cols[0]
+        my = jax.lax.axis_index(AXIS)
+
+        def ring_reduce(x_loc, panel_op, init):
+            """Accumulate panel_op(acc, panel_idx, shard) over D ring steps."""
+            def step(k, carry):
+                shard, acc = carry
+                src = jnp.mod(my - k, d)
+                acc = panel_op(acc, src, shard)
+                shard = jax.lax.ppermute(shard, AXIS, _ring_perm(d))
+                return (shard, acc)
+
+            _, acc = jax.lax.fori_loop(0, d, step, (x_loc, init))
+            return acc
+
+        def spmm_panel(acc, src, shard):
+            v = jax.lax.dynamic_index_in_dim(vals, src, keepdims=False)
+            rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
+            c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
+            return acc + spmm_mod._bsr_spmm_rows(v, rp, c, shard, n_loc, bs,
+                                                 interpret=interp)
+
+        def nbrmax_panel(acc, src, shard):
+            v = jax.lax.dynamic_index_in_dim(vals, src, keepdims=False)
+            rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
+            c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
+            return jnp.maximum(acc, spmm_mod._bsr_nbr_max_rows(
+                v, rp, c, shard, n_loc, bs, interpret=interp))
+
+        def anorm_spmm(y):
+            # pad lanes to 128 for the kernel (head layer F < 128)
+            f = y.shape[1]
+            fp = max(-(-f // 128) * 128, 128) if not interp else f
+            if fp != f:
+                y = jnp.pad(y, ((0, 0), (0, fp - f)))
+            out = ring_reduce(y, spmm_panel, jnp.zeros((n_loc, y.shape[1]),
+                                                       jnp.float32))
+            return out[:, :f] if fp != f else out
+
+        # ---- features (mwis_gdpg_call.py:82-97 semantics)
+        m = mask_loc.astype(jnp.float32)
+        if predict == "mwis":
+            feats = jnp.full((n_loc, feature_size), 1.0 / feature_size,
+                             jnp.float32) * m[:, None]
+        else:
+            norm = jax.lax.pmax(jnp.max(jnp.abs(wts_loc) * m), AXIS) + 1e-9
+            feats = jnp.repeat((wts_loc / norm)[:, None], feature_size,
+                               axis=1) * m[:, None]
+
+        # ---- L-layer ChebGCN forward, supports [I, L, .., L^K]
+        h = feats
+        for li, layer in enumerate(params_list):
+            out = jnp.matmul(h, layer["w_0"], precision=hp)
+            for k in range(1, max_degree + 1):
+                y = jnp.matmul(h, layer[f"w_{k}"], precision=hp)
+                for _ in range(k):
+                    y = y - anorm_spmm(y)
+                out = out + y
+            if "bias" in layer:
+                out = out + layer["bias"]
+            h = leaky_relu02(out) if li < num_layer - 1 else final_act(out)
+
+        act = h[:, 0] * m
+        gcn_wts = act * wts_loc if predict == "mwis" else act
+
+        # ---- rank-based LGS rounds over the ring (ops/lgs.py semantics)
+        w_full = jax.lax.all_gather(gcn_wts, AXIS).reshape(d * n_loc)
+        order = jnp.argsort(-w_full, stable=True)
+        ranks_full = (d * n_loc - jnp.argsort(order)).astype(jnp.float32)
+        ranks_loc = jax.lax.dynamic_slice(ranks_full, (my * n_loc,),
+                                          (n_loc,))
+        sel0 = jnp.where(mask_loc, jnp.int8(-1), jnp.int8(0))
+
+        def cond(state):
+            sel, r = state
+            any_l = jnp.any(sel == -1).astype(jnp.int32)
+            return (jax.lax.psum(any_l, AXIS) > 0) & (r < d * n_loc)
+
+        def body(state):
+            sel, r = state
+            remain = sel == -1
+            rr = jnp.where(remain, ranks_loc, -1.0)
+            mx = ring_reduce(rr, nbrmax_panel,
+                             jnp.full((n_loc,), _NEG_HUGE, jnp.float32))
+            win = remain & (ranks_loc > mx)
+            hit = ring_reduce(win.astype(jnp.float32), nbrmax_panel,
+                              jnp.full((n_loc,), _NEG_HUGE,
+                                       jnp.float32)) > 0.0
+            sel = jnp.where(win, jnp.int8(1), sel)
+            sel = jnp.where(remain & ~win & hit, jnp.int8(0), sel)
+            return sel, r + 1
+
+        sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
+        util = jax.lax.psum(jnp.sum(jnp.where(sel == 1, wts_loc, 0.0)),
+                            AXIS)
+        return sel, jnp.broadcast_to(util, (n_loc,))
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False)   # pallas_call outputs carry no vma info
+    return jax.jit(fn)
+
+
+def shard_arrays(mesh: Mesh, graph: ShardedLargeGraph):
+    """Device-put the panel arrays + mask with their solve shardings."""
+    sh = NamedSharding(mesh, P(AXIS))
+    return (jax.device_put(graph.vals, sh), jax.device_put(graph.rptr, sh),
+            jax.device_put(graph.cols, sh),
+            jax.device_put(graph.mask, sh))

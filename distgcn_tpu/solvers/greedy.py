@@ -48,6 +48,14 @@ def greedy_search(adj, wts) -> Tuple[Set[int], float]:
     neighbor was already selected. Note the reference also skips *blocked*
     nodes' neighbor-marking (a blocked node never extends nb_is), reproduced
     here exactly.
+
+    DELIBERATE tie-order deviation: the reference uses a non-stable
+    ``np.argsort(-wts)`` (heuristics.py:22), so equal weights are visited in
+    an unspecified order; here the sort is stable, making ties resolve to
+    the smaller node id. For the continuous weight distributions of every
+    dataset/driver the two are identical (ties have measure zero); the
+    stable order is load-bearing for the greedy == LGS set-equality that
+    `ops.lgs.batched_greedy` exploits (see ops/lgs.py module docstring).
     """
     adj = _as_csr(adj)
     w = _as_wts(wts)
