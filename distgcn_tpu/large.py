@@ -280,6 +280,95 @@ def make_large_solve(graph: LargeGraph, num_layer: int,
     return solve
 
 
+def make_large_closed_loop(graph: LargeGraph, num_layer: int,
+                           timeslots: int, load: float = 0.9,
+                           rate_lo: float = 0.0, rate_hi: float = 100.0,
+                           wt_sel: str = "qr", feature_size: int = 1,
+                           max_degree: int = 1, predict: str = "mwis",
+                           feature_mode: str = "gdpg"):
+    """City-scale closed-loop scheduling: a whole T-slot episode on ONE
+    large conflict graph, device-resident (the large-N analog of
+    `sim.device_sim.make_closed_loop`).
+
+    Per slot inside one `lax.scan`: Poisson arrivals, truncated-Gaussian
+    link rates (wireless_dqn_test.py:179-194 traffic model), `wt_sel`
+    utilities, GCN scoring through the Pallas BSR forward, BSR-LGS solve,
+    queue departures. BSR blocks/neighbor lists stay in HBM across the
+    episode — zero host traffic per slot.
+
+    Returns run(params_list, queue0, key) ->
+      (queueT [n_pad], {"avg_queue_len", "avg_utility", "sched_rate"}).
+    """
+    from distgcn_tpu.sim.device_sim import slot_utilities
+
+    arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    mean_r = 0.5 * (rate_lo + rate_hi)
+    std_r = 0.25 * (rate_hi - rate_lo)
+    final_act = identity
+    arrs0 = graph_arrays(graph)
+
+    @jax.jit
+    def run(arrs, params_list, queue0, key):
+        mask = arrs["mask"]
+        m = mask.astype(jnp.float32)
+
+        def lgs(w):
+            if graph.use_pallas:
+                return bsr_lgs(graph, arrs, w, mask)
+            return ell_lgs(arrs["ell_cols"], arrs["ell_valid"], w, mask)
+
+        def body(carry, _):
+            queue, key = carry
+            key, ka, kr = jax.random.split(key, 3)
+            arrivals = jax.random.poisson(
+                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            rates = jax.random.normal(kr, queue.shape) * std_r + mean_r
+            rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) * m
+            queue = queue + arrivals
+            wts = slot_utilities(queue[None], rates[None], wt_sel)[0] * m
+            if predict == "mwis":
+                feats = jnp.full((graph.n_pad, feature_size),
+                                 1.0 / feature_size, jnp.float32)
+                if feature_mode == "dqn":
+                    feats = feats * ((wts != 0).astype(jnp.float32)
+                                     * m)[:, None]
+                else:
+                    feats = feats * m[:, None]
+            else:
+                norm = jnp.max(jnp.abs(wts) * m) + 1e-9
+                feats = jnp.repeat((wts / norm)[:, None], feature_size,
+                                   axis=1) * m[:, None]
+            out = large_gcn_forward(graph, params_list, feats,
+                                    final_act=final_act,
+                                    max_degree=max_degree, arrs=arrs)
+            act = out[:, 0] * m
+            gcn_wts = act * wts if predict == "mwis" else act
+            sel, _, _ = lgs(gcn_wts)
+            on = (sel == 1).astype(queue.dtype)
+            departures = jnp.minimum(queue, rates * on)
+            queue = queue - departures
+            slot = {"queue_sum": jnp.sum(queue * m),
+                    "util": jnp.sum(jnp.where(sel == 1, wts, 0.0)),
+                    "nsched": jnp.sum(on)}
+            return (queue, key), slot
+
+        (queue, _), slots = jax.lax.scan(body, (queue0, key), None,
+                                         length=timeslots)
+        nreal = jnp.maximum(jnp.sum(m), 1.0)
+        metrics = {
+            "avg_queue_len": jnp.mean(slots["queue_sum"]) / nreal,
+            "avg_utility": jnp.mean(slots["util"]),
+            "sched_rate": jnp.mean(slots["nsched"]) / nreal,
+        }
+        return queue, metrics
+
+    def runner(params_list, queue0, key):
+        return run(arrs0, params_list, queue0, key)
+
+    runner.jitted = run
+    return runner
+
+
 def geometric_conflict_graph(n: int, avg_degree: float = 24.0,
                              seed: int = 0, weight_dist: str = "uniform",
                              order: str = "rcm"):

@@ -170,6 +170,26 @@ def test_bsr_lgs_interpret_matches_host():
     assert np.isclose(float(util), ref_util, rtol=1e-6)
 
 
+def test_large_closed_loop_runs_and_drains():
+    """City-scale closed loop: queues stay bounded at moderate load and the
+    scheduler picks independent sets every slot."""
+    from distgcn_tpu.large import make_large_closed_loop
+    adj, wts, _ = geometric_conflict_graph(300, avg_degree=6.0, seed=31)
+    g = build_large_graph(adj, block_size=128, use_pallas=False)
+    model = ChebGCN(num_layer=2, hidden_dim=8, out_dim=1, num_supports=2)
+    params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 8, 1)),
+                        jnp.zeros((1, 2, 8, 8)))["params"]
+    run = make_large_closed_loop(g, num_layer=2, timeslots=40, load=0.5)
+    q0 = jnp.zeros(g.n_pad)
+    qT, metrics = run(params_to_list(params), q0, jax.random.PRNGKey(0))
+    assert float(metrics["avg_utility"]) > 0
+    assert 0 < float(metrics["sched_rate"]) < 1
+    # padding never accumulates queue
+    assert not np.asarray(qT)[g.n:].any()
+    # low-load queues should stay small relative to arrival volume
+    assert float(metrics["avg_queue_len"]) < 40 * 25.0
+
+
 def test_large_solve_bsr_interpret_matches_ell():
     """The Pallas BSR route (interpret mode) equals the ELL route."""
     adj, wts, _ = geometric_conflict_graph(256, avg_degree=8.0, seed=11)
