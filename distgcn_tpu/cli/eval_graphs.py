@@ -8,10 +8,18 @@ appends a CSV ``./output/{model_name}.csv`` with columns ["data", "p"]
 TPU redesign: instances are evaluated in padded device batches (one XLA
 launch per bucket) instead of one feed_dict per graph.
 
+Rollout mode (``--rollout=1``): the centralized tree-search sweep of
+`mwis_dqn_test.py`'s rollout configuration — a GCN_DEEP_DIVER model drives
+the best-solution-first queue (`DiverAgent.solve_mwis_bsf`,
+mwis_dqn_test.py:59-135) per instance, with the reference's resumable-CSV
+protocol (rows with p == 0 are re-attempted on the next run,
+mwis_dqn_test.py:302-318).
+
 Usage:
     python -m distgcn_tpu.cli.eval_graphs --datapath=data/ER_..._test2 \
         --training_set=IS4SAT --num_layer=1 --hidden1=32 --feature_size=1 \
-        --diver_num=1 --max_degree=1 --predict=mwis [--model_root=...]
+        --diver_num=1 --max_degree=1 --predict=mwis [--model_root=...] \
+        [--rollout=1 --max_pops=8]
 """
 
 from __future__ import annotations
@@ -34,7 +42,12 @@ def main(argv=None):
     extra = argparse.ArgumentParser()
     extra.add_argument("--model_root", default="./model")
     extra.add_argument("--output_dir", default="./output")
+    extra.add_argument("--rollout", type=int, default=0)
+    extra.add_argument("--max_pops", type=int, default=8)
     ns, _ = extra.parse_known_args(argv)
+
+    if ns.rollout:
+        return rollout_main(cfg, ns)
 
     model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     agent = DQNAgent(cfg, model_family="gcn_dqn")
@@ -64,6 +77,51 @@ def main(argv=None):
           f"{np.mean(ratios):.6f}  runtime: {runtime:.2f}s "
           f"({len(insts)/runtime:.1f} graphs/s)  -> {out_csv}")
     return float(np.mean(ratios))
+
+
+def rollout_main(cfg: Config, ns):
+    """DGCN-RS tree-search sweep: one best-solution-first search per
+    instance (device-batched diver-head evals per pop), resumable CSV."""
+    from distgcn_tpu.agents_extra import DiverAgent
+    from distgcn_tpu.data.matio import load_mat, list_dataset
+    from distgcn_tpu.solvers.greedy import greedy_search
+
+    model_origin = find_model_folder(cfg, "diver", ns.model_root)
+    agent = DiverAgent(cfg)
+    if not agent.load(model_origin):
+        print(f"Unable to load {model_origin}")
+
+    files = list_dataset(cfg.datapath)
+    ds = os.path.basename(os.path.normpath(cfg.datapath))
+    os.makedirs(ns.output_dir, exist_ok=True)
+    out_csv = os.path.join(
+        ns.output_dir,
+        model_origin.split("/")[-1] + f"_rs{ns.max_pops}_{ds}.csv")
+    if os.path.isfile(out_csv):
+        df = pd.read_csv(out_csv, index_col=0)
+    else:
+        df = pd.DataFrame({"data": files, "p": np.zeros(len(files))})
+
+    t0 = time.time()
+    todo = df.index[df["p"] == 0].tolist()
+    for j, idx in enumerate(todo):
+        fname = df.loc[idx, "data"]
+        inst = load_mat(os.path.join(cfg.datapath, fname))
+        _, gutil = greedy_search(inst.adj, inst.weights)
+        _, util = agent.solve_mwis_bsf(inst.adj, inst.weights,
+                                       max_pops=ns.max_pops)
+        df.loc[idx, "p"] = util / gutil if gutil else 1.0
+        if (j + 1) % 25 == 0 or j + 1 == len(todo):
+            df.to_csv(out_csv)
+            done = df[df["p"] > 0]
+            print(f"{j + 1}/{len(todo)}  mean p so far: "
+                  f"{done['p'].mean():.6f}  "
+                  f"({(j + 1) / (time.time() - t0):.2f} graphs/s)")
+    df.to_csv(out_csv)
+    solved = df[df["p"] > 0]
+    print(f"rollout sweep: {len(solved)}/{len(df)} instances, mean ratio "
+          f"vs greedy {solved['p'].mean():.6f} -> {out_csv}")
+    return float(solved["p"].mean())
 
 
 if __name__ == "__main__":
