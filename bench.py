@@ -196,7 +196,7 @@ def main():
                               jnp.zeros((1, 2, 8, 8)))["params"]
         plist = [jax.tree_util.tree_map(jnp.asarray, p)
                  for p in params_to_list(lparams)]
-        lsolve = make_large_solve(lg, num_layer=nl_large)
+        lsolve = make_large_solve(lg)
         wpad = np.zeros(lg.n_pad, np.float32)
         wpad[: lg.n] = lwts
         wj = jnp.asarray(wpad)

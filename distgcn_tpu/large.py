@@ -232,7 +232,7 @@ def params_to_list(params) -> list:
     return [params[f"gc{i + 1}"] for i in range(n)]
 
 
-def make_large_solve(graph: LargeGraph, num_layer: int,
+def make_large_solve(graph: LargeGraph,
                      feature_size: int = 1, max_degree: int = 1,
                      predict: str = "mwis", final_act_same: bool = False,
                      with_baseline: bool = False):
@@ -280,7 +280,7 @@ def make_large_solve(graph: LargeGraph, num_layer: int,
     return solve
 
 
-def make_large_closed_loop(graph: LargeGraph, num_layer: int,
+def make_large_closed_loop(graph: LargeGraph,
                            timeslots: int, load: float = 0.9,
                            rate_lo: float = 0.0, rate_hi: float = 100.0,
                            wt_sel: str = "qr", feature_size: int = 1,

@@ -337,7 +337,7 @@ def _bsr_nbr_max(blk_vals, blk_rows, blk_cols, x, n_rows: int,
             bytes_accessed=nb * (bs * bs * blk_vals.dtype.itemsize
                                  + 2 * bs * 4),
             transcendentals=0),
-    )(blk_rows, blk_cols, blk_vals, x.reshape(1, n_rows))
+    )(blk_rows, blk_cols, blk_vals, x.reshape(1, x.shape[0]))
     return out[:, 0, :].reshape(n_rows)
 
 

@@ -108,6 +108,7 @@ def make_sharded_gcn_forward(mesh: Mesh, n: int, feature_size: int,
                 panel = jax.lax.dynamic_slice(
                     lnorm, (0, src * n_loc), (n_loc, n_loc))
                 acc = acc + jnp.dot(panel, x_shard,
+                                    precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
                 x_shard = jax.lax.ppermute(x_shard, AXIS, _ring_perm(d))
                 return (x_shard, acc)
@@ -116,11 +117,12 @@ def make_sharded_gcn_forward(mesh: Mesh, n: int, feature_size: int,
             return acc
 
         h = x_loc
+        hp = jax.lax.Precision.HIGHEST  # parity path: no bf16 MXU truncation
         for li, layer in enumerate(params_list):
-            out = jnp.dot(h, layer["w_0"],
+            out = jnp.dot(h, layer["w_0"], precision=hp,
                           preferred_element_type=jnp.float32)   # S0 = I
             for k in range(1, max_degree + 1):
-                y = jnp.dot(h, layer[f"w_{k}"],
+                y = jnp.dot(h, layer[f"w_{k}"], precision=hp,
                             preferred_element_type=jnp.float32)
                 for _ in range(k):                               # L^k @ y
                     y = y - ring_anorm(y)

@@ -37,6 +37,7 @@ from jax import shard_map
 from distgcn_tpu.core import prep
 from distgcn_tpu.models.layers import leaky_relu02, identity
 from distgcn_tpu.ops import spmm as spmm_mod
+from distgcn_tpu.ops.lgs import lgs_ranks
 
 AXIS = "graph"
 _NEG_HUGE = spmm_mod._NEG_HUGE
@@ -73,8 +74,8 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
     n_pad = -(-n // (bs * d)) * (bs * d)
     nr_loc = n_pad // (bs * d)
     anorm = sp.coo_matrix(prep.normalize_adj(adj))
-    br = anorm.row // bs
-    bc = anorm.col // bs
+    br = (anorm.row // bs).astype(np.int64)       # int64: key has ~4 index
+    bc = (anorm.col // bs).astype(np.int64)       # factors and would wrap
     pr, ps = br // nr_loc, bc // nr_loc           # panel coordinates
     lbr, lbc = br % nr_loc, bc % nr_loc           # block ids local to panel
     key = ((pr * d + ps) * nr_loc + lbr) * nr_loc + lbc
@@ -84,13 +85,11 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
     vals = np.zeros((d, d, nb_max, bs, bs), dtype=block_dtype)
     cols = np.zeros((d, d, nb_max), np.int32)
     rptr = np.zeros((d, d, nr_loc + 1), np.int32)
-    # position of each unique block within its panel
+    # position of each unique block within its panel (uniq is sorted, so
+    # blocks of one panel are contiguous: offset from the panel's start)
     panel_of = uniq // (nr_loc * nr_loc)
-    pos_in_panel = np.zeros(uniq.size, np.int64)
-    counts = np.zeros(d * d, np.int64)
-    for i, p in enumerate(panel_of):              # uniq is sorted by panel
-        pos_in_panel[i] = counts[p]
-        counts[p] += 1
+    panel_start = np.searchsorted(panel_of, np.arange(d * d))
+    pos_in_panel = np.arange(uniq.size, dtype=np.int64) - panel_start[panel_of]
     u_pr = panel_of // d
     u_ps = panel_of % d
     u_lbr = (uniq // nr_loc) % nr_loc
@@ -112,7 +111,7 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
 
 
 def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
-                             num_layer: int, feature_size: int = 1,
+                             feature_size: int = 1,
                              max_degree: int = 1, predict: str = "mwis",
                              final_act_same: bool = False):
     """Jitted sharded solve(vals, rptr, cols, params_list, wts, mask) on the
@@ -128,6 +127,12 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
     bs, interp = graph.block_size, graph.interpret
     final_act = leaky_relu02 if final_act_same else identity
     hp = jax.lax.Precision.HIGHEST
+    if graph.n_pad >= 1 << 24:
+        # LGS ranks ride the f32 neighbor-max kernel; integers above 2^24
+        # are not exact in f32, so tied ranks would deadlock rounds
+        raise ValueError(
+            f"n_pad={graph.n_pad} >= 2^24: LGS ranks lose exactness in "
+            "f32 — shard into smaller per-solve partitions")
 
     def local_fn(vals, rptr, cols, params_list, wts_loc, mask_loc):
         # leading panel axis is sharded away: [D, nb, bs, bs] etc.
@@ -191,15 +196,15 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
                 out = out + y
             if "bias" in layer:
                 out = out + layer["bias"]
-            h = leaky_relu02(out) if li < num_layer - 1 else final_act(out)
+            h = (leaky_relu02(out) if li < len(params_list) - 1
+                 else final_act(out))
 
         act = h[:, 0] * m
         gcn_wts = act * wts_loc if predict == "mwis" else act
 
         # ---- rank-based LGS rounds over the ring (ops/lgs.py semantics)
         w_full = jax.lax.all_gather(gcn_wts, AXIS).reshape(d * n_loc)
-        order = jnp.argsort(-w_full, stable=True)
-        ranks_full = (d * n_loc - jnp.argsort(order)).astype(jnp.float32)
+        ranks_full = lgs_ranks(w_full).astype(jnp.float32)
         ranks_loc = jax.lax.dynamic_slice(ranks_full, (my * n_loc,),
                                           (n_loc,))
         sel0 = jnp.where(mask_loc, jnp.int8(-1), jnp.int8(0))

@@ -118,7 +118,7 @@ def test_large_solve_matches_dense_pipeline():
     dsel, dutil, dgutil = dense(params, gb.adj, gb.wts, gb.mask)
 
     g = build_large_graph(adj, block_size=128, use_pallas=False)
-    solve = make_large_solve(g, num_layer=3, feature_size=1, max_degree=1,
+    solve = make_large_solve(g, feature_size=1, max_degree=1,
                              with_baseline=True)
     wpad = np.zeros(g.n_pad, np.float32)
     wpad[: g.n] = wts
@@ -179,7 +179,7 @@ def test_large_closed_loop_runs_and_drains():
     model = ChebGCN(num_layer=2, hidden_dim=8, out_dim=1, num_supports=2)
     params = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 8, 1)),
                         jnp.zeros((1, 2, 8, 8)))["params"]
-    run = make_large_closed_loop(g, num_layer=2, timeslots=40, load=0.5)
+    run = make_large_closed_loop(g, timeslots=40, load=0.5)
     q0 = jnp.zeros(g.n_pad)
     qT, metrics = run(params_to_list(params), q0, jax.random.PRNGKey(0))
     assert float(metrics["avg_utility"]) > 0
@@ -202,7 +202,7 @@ def test_large_solve_bsr_interpret_matches_ell():
     g_ell = build_large_graph(adj, block_size=128, use_pallas=False)
     g_bsr = build_large_graph(adj, block_size=128, use_pallas=True,
                               interpret=True)
-    s1 = make_large_solve(g_ell, num_layer=2)(plist, wpad)
-    s2 = make_large_solve(g_bsr, num_layer=2)(plist, wpad)
+    s1 = make_large_solve(g_ell)(plist, wpad)
+    s2 = make_large_solve(g_bsr)(plist, wpad)
     assert np.array_equal(np.asarray(s1[0]), np.asarray(s2[0]))
     assert np.isclose(float(s1[1]), float(s2[1]), rtol=1e-5)

@@ -31,7 +31,7 @@ def test_sharded_large_solve_matches_single_chip(mesh8):
     plist = params_to_list(params)
 
     sg = shard_large_graph(adj, 8, block_size=8, interpret=True)
-    solve = make_sharded_large_solve(mesh8, sg, num_layer=3)
+    solve = make_sharded_large_solve(mesh8, sg)
     vals, rptr, cols, mask = shard_arrays(mesh8, sg)
     wpad = np.zeros(sg.n_pad, np.float32)
     wpad[: sg.n] = wts
@@ -40,7 +40,7 @@ def test_sharded_large_solve_matches_single_chip(mesh8):
     sel = np.asarray(sel)[: sg.n]
 
     g1 = build_large_graph(adj, block_size=128, use_pallas=False)
-    s1 = make_large_solve(g1, num_layer=3)
+    s1 = make_large_solve(g1)
     w1 = np.zeros(g1.n_pad, np.float32)
     w1[: g1.n] = wts
     sel1, util1, _ = s1(plist, jnp.asarray(w1))
@@ -58,7 +58,7 @@ def test_sharded_large_plain_lgs_matches_host(mesh8):
     plist = [{"w_0": jnp.zeros((1, 1)), "w_1": jnp.zeros((1, 1)),
               "bias": jnp.ones((1,))}]
     sg = shard_large_graph(adj, 8, block_size=8, interpret=True)
-    solve = make_sharded_large_solve(mesh8, sg, num_layer=1)
+    solve = make_sharded_large_solve(mesh8, sg)
     vals, rptr, cols, mask = shard_arrays(mesh8, sg)
     wpad = np.zeros(sg.n_pad, np.float32)
     wpad[: sg.n] = wts

@@ -63,6 +63,27 @@ def test_bsr_spmm_rows_matches_scipy_and_handles_empty_rows(rng):
     assert np.all(y[256:384] == 0)
 
 
+def test_bsr_neighbor_max_rectangular(rng):
+    # bsr_neighbor_max on a non-square pattern (n_rows != n_cols): the
+    # kernel input is laid out [1, n_cols], not [1, n_rows]
+    from distgcn_tpu.ops.spmm import bsr_neighbor_max, _NEG_HUGE
+    n, m = 256, 512
+    s = sp.random(n, m, density=0.02, random_state=7, format="csr",
+                  dtype=np.float32)
+    s.data[:] = 1.0
+    x = rng.random(m).astype(np.float32)
+    bsr = BsrMatrix.from_scipy(s, 128)
+    y = np.asarray(bsr_neighbor_max(bsr, jnp.asarray(x),
+                                    interpret=True))[:n]
+    dense = s.toarray() != 0
+    expect = np.where(dense.any(axis=1),
+                      np.where(dense, x[None, :], _NEG_HUGE).max(axis=1),
+                      y)  # no-neighbor rows: sentinel/uninit, not asserted
+    np.testing.assert_allclose(np.where(dense.any(axis=1), y, 0.0),
+                               np.where(dense.any(axis=1), expect, 0.0),
+                               rtol=1e-6)
+
+
 def test_ell_matches_scipy(rng):
     s = _banded(rng, n=300)
     x = rng.random((300, 16)).astype(np.float32)
