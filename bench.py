@@ -178,10 +178,17 @@ def main():
 
     # --- large-graph model path: N=65536 geometric conflict graph, 20-layer
     # c128 GCN with every support application through the Pallas BSR SpMM +
-    # BSR-LGS solve, end-to-end edges/s (nnz x num_layer / solve time)
+    # BSR-LGS solve, end-to-end edges/s (nnz x num_layer / solve time).
+    # K solves on distinct weights run inside ONE program (lax.scan) so the
+    # per-launch tunnel round-trip (~1-30 ms depending on tunnel weather)
+    # doesn't masquerade as solve time. dqn feature mode = features depend
+    # on the weights, so the 20-layer GCN runs EVERY solve (honest rate);
+    # mwis mode = weight-independent features, XLA hoists the GCN out of
+    # the scan (reported separately as the hoisted rate).
     large = {}
     try:
-        from distgcn_tpu.large import (build_large_graph,
+        import functools
+        from distgcn_tpu.large import (build_large_graph, graph_arrays,
                                        geometric_conflict_graph,
                                        make_large_solve, params_to_list)
         from distgcn_tpu.models.gcn import ChebGCN
@@ -190,26 +197,43 @@ def main():
                                                  seed=0)
         lg = build_large_graph(ladj, block_size=512,
                                block_dtype=jnp.bfloat16)
+        larrs = graph_arrays(lg)
         lmodel = ChebGCN(num_layer=nl_large, hidden_dim=128, out_dim=1,
                          num_supports=2)
         lparams = lmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 1)),
                               jnp.zeros((1, 2, 8, 8)))["params"]
         plist = [jax.tree_util.tree_map(jnp.asarray, p)
                  for p in params_to_list(lparams)]
-        lsolve = make_large_solve(lg)
         wpad = np.zeros(lg.n_pad, np.float32)
         wpad[: lg.n] = lwts
         wj = jnp.asarray(wpad)
-        np.asarray(lsolve(plist, wj)[1])  # compile
-        lt = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(lsolve(plist, wj)[1])
-            lt.append(time.perf_counter() - t0)
+        K = 8
+
+        def amortized_ms(solve):
+            @functools.partial(jax.jit, static_argnames="k")
+            def many(arrs, ps, w, k):
+                def body(c, i):
+                    scale = 1.0 + 0.001 * i.astype(jnp.float32)
+                    _, util, _ = solve.jitted(arrs, ps, w * scale)
+                    return c + util, 0
+                r, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
+                return r
+
+            np.asarray(many(larrs, plist, wj, K))  # compile
+            lt = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(many(larrs, plist, wj, K))
+                lt.append(time.perf_counter() - t0)
+            return min(lt) / K * 1000
+
+        ms_dqn = amortized_ms(make_large_solve(lg, predict="dqn"))
+        ms_hoisted = amortized_ms(make_large_solve(lg))
         large = {"large_n": lg.n, "large_edges": int(ladj.nnz),
-                 "large_solve_ms": round(min(lt) * 1000, 1),
+                 "large_solve_ms": round(ms_dqn, 1),
                  "large_gedges_per_s": round(
-                     ladj.nnz * nl_large / min(lt) / 1e9, 3)}
+                     ladj.nnz * nl_large / (ms_dqn / 1000) / 1e9, 3),
+                 "large_hoisted_solve_ms": round(ms_hoisted, 1)}
     except Exception as e:  # keep the bench line printing on any failure
         large = {"large_error": str(e)[:120]}
 

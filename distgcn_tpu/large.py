@@ -6,7 +6,9 @@ that regime. This module is the **large-N** model path (N ~ 1e4..1e6, e.g. a
 city-scale conflict graph): the normalized adjacency is stored block-sparse
 (`ops.spmm.BsrMatrix`) and every support application in the forward runs
 through the Pallas row-grid SpMM kernel (`ops.spmm.bsr_spmm_rows`); the LGS
-solve runs in ELLPACK neighbor-list form (`ops.lgs.ell_lgs`). End-to-end:
+solve streams int8 structure blocks through the Pallas chunk-grid
+neighbor-max (`bsr_lgs`; `ops.lgs.ell_lgs` is the non-TPU fallback).
+End-to-end:
 
     weights -> features -> L-layer ChebGCN (BSR SpMM) -> gcn weights
             -> ELL LGS -> schedule + utility
@@ -65,6 +67,11 @@ class LargeGraph:
     ell_valid: jnp.ndarray      # [n_pad, K] bool (real-edge mask)
     bsr: Optional[BsrMatrix] = None      # TPU only
     row_ptr: Optional[jnp.ndarray] = None
+    # int8 0/1 structure-only BSR for the LGS neighbor-max: a SMALLER block
+    # size than the SpMM's — the neighbor-max is VPU-compute-bound on the
+    # dense block area (nb * bs^2), which shrinks with bs, while the SpMM
+    # is stream-bound and prefers big blocks
+    ind_bsr: Optional[BsrMatrix] = None
     interpret: bool = False              # Pallas interpret mode (tests)
 
     @property
@@ -75,7 +82,8 @@ class LargeGraph:
 def build_large_graph(adj, block_size: int = 512,
                       use_pallas: Optional[bool] = None,
                       interpret: bool = False,
-                      block_dtype=np.float32) -> LargeGraph:
+                      block_dtype=np.float32,
+                      ind_block_size: Optional[int] = None) -> LargeGraph:
     """Preprocess a scipy adjacency into a `LargeGraph`.
 
     Keep the graph locality-ordered (geometric/RCM) before calling — BSR
@@ -106,6 +114,14 @@ def build_large_graph(adj, block_size: int = 512,
         # relative error on the GCN scores (LGS still compares f32 weights)
         g.bsr = BsrMatrix.from_scipy(anorm, block_size, dtype=block_dtype)
         g.row_ptr = bsr_row_ptr(g.bsr)
+        ind = anorm.copy()
+        ind.data[:] = 1.0        # structure only; n_pad stays the SpMM's
+        ind.resize(n_pad, n_pad)
+        # measured: same block size as the SpMM's is fastest (5.06 ms vs
+        # 5.37/6.50 at 256/128 for the N=65536 LGS) — per-block loop
+        # overhead beats the dense-area savings of smaller blocks
+        g.ind_bsr = BsrMatrix.from_scipy(ind, ind_block_size or block_size,
+                                         dtype=np.int8)
     return g
 
 
@@ -119,7 +135,10 @@ def graph_arrays(graph: LargeGraph) -> dict:
          "ell_vals": graph.ell_vals, "ell_valid": graph.ell_valid}
     if graph.use_pallas:
         d.update(blk_vals=graph.bsr.blk_vals, row_ptr=graph.row_ptr,
-                 blk_cols=graph.bsr.blk_cols, blk_rows=graph.bsr.blk_rows)
+                 blk_cols=graph.bsr.blk_cols, blk_rows=graph.bsr.blk_rows,
+                 ind_vals=graph.ind_bsr.blk_vals,
+                 ind_rows=graph.ind_bsr.blk_rows,
+                 ind_cols=graph.ind_bsr.blk_cols)
     return d
 
 
@@ -194,15 +213,24 @@ def bsr_lgs(graph: LargeGraph, arrs: dict, wts: jnp.ndarray,
     """
     from distgcn_tpu.ops.lgs import lgs_ranks
 
-    n_rows, bs, interp = graph.bsr.n_rows, graph.block_size, graph.interpret
-    vals, rows, cols = arrs["blk_vals"], arrs["blk_rows"], arrs["blk_cols"]
+    interp = graph.interpret
+    ind = graph.ind_bsr
+    n_rows, ibs = ind.n_rows, ind.block_size
     n = wts.shape[0]
     ranks = lgs_ranks(wts).astype(jnp.float32)
     sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
     cap = n if max_rounds is None else int(max_rounds)
+    use_chunks = spmm_mod._nbr_max_fits_vmem(
+        ind.num_blocks, ibs, n_rows, n_rows,
+        arrs["ind_vals"].dtype.itemsize)
 
     def nbr_max(x):
-        return spmm_mod._bsr_nbr_max(vals, rows, cols, x, n_rows, bs,
+        if use_chunks:   # int8 structure stream, x+out VMEM-resident
+            return spmm_mod._bsr_nbr_max_chunks(
+                arrs["ind_vals"], arrs["ind_rows"], arrs["ind_cols"], x,
+                n_rows, ibs, interpret=interp)[:n]
+        return spmm_mod._bsr_nbr_max(arrs["ind_vals"], arrs["ind_rows"],
+                                     arrs["ind_cols"], x, n_rows, ibs,
                                      interpret=interp)[:n]
 
     def cond(state):

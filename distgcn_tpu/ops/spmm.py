@@ -60,15 +60,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_CHUNK = 8  # blocks per streamed chunk in the chunk-grid kernels
+
+
 @dataclass
 class BsrMatrix:
-    """Block-sparse S in BSR: dense [bs, bs] blocks at (row, col) block ids."""
+    """Block-sparse S in BSR: dense [bs, bs] blocks at (row, col) block ids.
+
+    The block arrays are padded to a multiple of `_CHUNK` with all-zero
+    blocks (duplicating the last real block's ids) so chunked kernels can
+    stream fixed-size chunks; `nb_real` is the unpadded count."""
     blk_vals: jnp.ndarray   # [nb, bs, bs]
     blk_rows: jnp.ndarray   # [nb] int32, nondecreasing
     blk_cols: jnp.ndarray   # [nb] int32
     n_rows: int             # padded row count (multiple of bs)
     n_cols: int
     block_size: int
+    nb_real: int = 0        # real (pre-padding) block count
 
     @classmethod
     def from_scipy(cls, s: sp.spmatrix, block_size: int = 128,
@@ -92,15 +100,22 @@ class BsrMatrix:
         uniq, inv = np.unique(keys, return_inverse=True)
         inv = inv[: coo.nnz]
         nb = uniq.size
-        vals = np.zeros((max(nb, 1), bs, bs), dtype=dtype)
-        rows = np.zeros(max(nb, 1), dtype=np.int32)
-        cols = np.zeros(max(nb, 1), dtype=np.int32)
+        # pad the block count to a multiple of _CHUNK so the chunk-grid
+        # kernels can stream fixed-size chunks; padding blocks are all-zero
+        # (SpMM adds 0, neighbor-max sees no edges) and carry the last real
+        # block's row id so blk_rows stays nondecreasing
+        nb_pad = max(-(-max(nb, 1) // _CHUNK) * _CHUNK, _CHUNK)
+        vals = np.zeros((nb_pad, bs, bs), dtype=dtype)
+        rows = np.zeros(nb_pad, dtype=np.int32)
+        cols = np.zeros(nb_pad, dtype=np.int32)
         if nb:
             rows[:nb] = (uniq // nbc).astype(np.int32)
             cols[:nb] = (uniq % nbc).astype(np.int32)
+            rows[nb:] = rows[nb - 1]
+            cols[nb:] = cols[nb - 1]
             vals[inv, coo.row % bs, coo.col % bs] = coo.data
         return cls(jnp.asarray(vals), jnp.asarray(rows), jnp.asarray(cols),
-                   nr, nc, bs)
+                   nr, nc, bs, nb_real=nb)
 
     @property
     def num_blocks(self) -> int:
@@ -440,6 +455,104 @@ def _bsr_nbr_max_rows(blk_vals, row_ptr, blk_cols, x, n_rows: int,
             transcendentals=0),
     )(row_ptr, blk_cols, blk_vals, x.reshape(1, n_cols))
     return out[:, 0, :].reshape(n_rows)
+
+
+def _nbr_max_chunk_kernel(blk_rows_ref, blk_cols_ref, ind_hbm, x_ref,
+                          o_ref, ibuf, sem, *, bs, chunk, nchunks):
+    """Chunk-grid neighbor-max: `chunk` blocks per grid step, streamed
+    HBM->VMEM in [chunk, bs, bs] slabs with manual double-buffered DMA.
+    Streams 0/1 INDICATOR blocks (int8 — structure is all neighbor-max
+    needs, so traffic is halved vs bf16 value blocks and quartered vs f32).
+    The blocks stay `memory_space=ANY` (HBM): routing them through a
+    BlockSpec pipeline makes XLA retile the whole array into the kernel's
+    VMEM layout on every program entry — a fixed ~32 ms for a 198 MB int8
+    array, dwarfing the 0.3 ms/pass marginal cost. x and the whole output
+    live in VMEM for the entire pass: no per-block x DMA, no
+    revisited-output HBM writes. Zero padding blocks
+    (BsrMatrix.from_scipy) are no-ops here."""
+    i = pl.program_id(0)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(ind_hbm.at[pl.ds(c * chunk, chunk)],
+                                     ibuf.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = jnp.full_like(o_ref, _NEG_HUGE)
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i + 1 < nchunks)
+    def _():
+        dma(nxt, i + 1).start()
+
+    dma(slot, i).wait()
+    for j in range(chunk):
+        b = i * chunk + j
+        row = blk_rows_ref[b]
+        col = blk_cols_ref[b]
+        # blocks are 0/1; cast straight to f32 (no int8 compare — Mosaic)
+        ind = ibuf[slot, j].astype(jnp.float32)               # [bs, bs]
+        xs = x_ref[:, pl.ds(col * bs, bs)]                    # [1, bs]
+        cand = ind * xs + (1.0 - ind) * _NEG_HUGE
+        bm = jnp.max(cand, axis=1)                            # [bs]
+        cur = o_ref[row]                                      # [8, bs]
+        o_ref[row] = jnp.maximum(cur, bm[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "block_size",
+                                             "interpret"))
+def _bsr_nbr_max_chunks(blk_ind, blk_rows, blk_cols, x, n_rows: int,
+                        block_size: int, interpret: bool = False):
+    """Chunk-grid `_bsr_nbr_max` over 0/1 indicator blocks (int8 — see
+    `bsr_indicator`). Requires the block count padded to a multiple of
+    `_CHUNK` (BsrMatrix.from_scipy layout) and x + output small enough for
+    VMEM — see `_nbr_max_fits_vmem`. x: [n_cols] f32."""
+    nb, bs, _ = blk_ind.shape
+    nr = n_rows // bs
+    n_cols = x.shape[0]
+    nchunks = nb // _CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # blocks stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident all pass
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _CHUNK, bs, bs), blk_ind.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_nbr_max_chunk_kernel, bs=bs, chunk=_CHUNK,
+                          nchunks=nchunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr, 8, bs), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=nb * bs * bs,
+            bytes_accessed=nb * bs * bs * blk_ind.dtype.itemsize,
+            transcendentals=0),
+    )(blk_rows, blk_cols, blk_ind, x.reshape(1, n_cols))
+    return out[:, 0, :].reshape(n_rows)
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of ~6 MB in 16 MB VMEM
+
+
+def _nbr_max_fits_vmem(nb: int, bs: int, n_rows: int, n_cols: int,
+                       itemsize: int) -> bool:
+    """Whether the chunk-grid neighbor-max's VMEM residents fit: double-
+    buffered [chunk, bs, bs] vals slabs + x (8-sublane padded) + output."""
+    vals_bytes = 2 * _CHUNK * bs * bs * itemsize
+    x_bytes = 8 * n_cols * 4
+    out_bytes = (n_rows // bs) * 8 * bs * 4
+    return (nb % _CHUNK == 0
+            and vals_bytes + x_bytes + out_bytes <= _VMEM_BUDGET)
 
 
 # ---------------------------------------------------------------------------

@@ -25,16 +25,17 @@ def _banded(rng, n=1024, deg=8, bw=96):
 def test_bsr_roundtrip_blocks(rng):
     s = _banded(rng, n=512)
     bsr = BsrMatrix.from_scipy(s, 128)
-    # reassemble dense from blocks
+    # reassemble dense from the real (pre-padding) blocks
     dense = np.zeros((bsr.n_rows, bsr.n_cols), np.float32)
-    for b in range(bsr.num_blocks):
+    for b in range(bsr.nb_real):
         r, c = int(bsr.blk_rows[b]), int(bsr.blk_cols[b])
         dense[r * 128:(r + 1) * 128, c * 128:(c + 1) * 128] = \
             np.asarray(bsr.blk_vals[b])
     np.testing.assert_allclose(dense[:512, :512], s.toarray(), rtol=1e-6)
-    # blk_rows nondecreasing (kernel contract)
+    # blk_rows nondecreasing (kernel contract); padding blocks all-zero
     br = np.asarray(bsr.blk_rows)
     assert np.all(np.diff(br) >= 0)
+    assert not np.asarray(bsr.blk_vals[bsr.nb_real:]).any()
 
 
 def test_bsr_spmm_block_grid_matches_scipy(rng):
