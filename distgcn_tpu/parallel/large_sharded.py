@@ -61,6 +61,9 @@ class ShardedLargeGraph:
     rptr: np.ndarray
     cols: np.ndarray
     mask: np.ndarray  # [n_pad] bool
+    # int8 0/1 structure panels for the LGS neighbor-max rounds (half the
+    # ring traffic of the bf16 value panels — structure is all LGS needs)
+    ind: np.ndarray = None
     interpret: bool = False
 
 
@@ -107,6 +110,7 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
     return ShardedLargeGraph(n=n, n_pad=n_pad, n_loc=n_pad // d, d=d,
                              block_size=bs, nb_max=nb_max, vals=vals,
                              rptr=rptr, cols=cols, mask=mask,
+                             ind=(vals != 0).astype(np.int8),
                              interpret=interpret)
 
 
@@ -134,9 +138,9 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
             f"n_pad={graph.n_pad} >= 2^24: LGS ranks lose exactness in "
             "f32 — shard into smaller per-solve partitions")
 
-    def local_fn(vals, rptr, cols, params_list, wts_loc, mask_loc):
+    def local_fn(vals, rptr, cols, ind, params_list, wts_loc, mask_loc):
         # leading panel axis is sharded away: [D, nb, bs, bs] etc.
-        vals, rptr, cols = vals[0], rptr[0], cols[0]
+        vals, rptr, cols, ind = vals[0], rptr[0], cols[0], ind[0]
         my = jax.lax.axis_index(AXIS)
 
         def ring_reduce(x_loc, panel_op, init):
@@ -159,7 +163,9 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
                                                  interpret=interp)
 
         def nbrmax_panel(acc, src, shard):
-            v = jax.lax.dynamic_index_in_dim(vals, src, keepdims=False)
+            # int8 structure panels: half the HBM traffic of the bf16
+            # value panels, same neighbor set
+            v = jax.lax.dynamic_index_in_dim(ind, src, keepdims=False)
             rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
             return jnp.maximum(acc, spmm_mod._bsr_nbr_max_rows(
@@ -235,7 +241,8 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(AXIS),
+                  P(AXIS)),
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False)   # pallas_call outputs carry no vma info
     return jax.jit(fn)
@@ -246,4 +253,5 @@ def shard_arrays(mesh: Mesh, graph: ShardedLargeGraph):
     sh = NamedSharding(mesh, P(AXIS))
     return (jax.device_put(graph.vals, sh), jax.device_put(graph.rptr, sh),
             jax.device_put(graph.cols, sh),
+            jax.device_put(graph.ind, sh),
             jax.device_put(graph.mask, sh))

@@ -32,11 +32,11 @@ def test_sharded_large_solve_matches_single_chip(mesh8):
 
     sg = shard_large_graph(adj, 8, block_size=8, interpret=True)
     solve = make_sharded_large_solve(mesh8, sg)
-    vals, rptr, cols, mask = shard_arrays(mesh8, sg)
+    vals, rptr, cols, ind, mask = shard_arrays(mesh8, sg)
     wpad = np.zeros(sg.n_pad, np.float32)
     wpad[: sg.n] = wts
     wsh = jax.device_put(jnp.asarray(wpad), NamedSharding(mesh8, P("graph")))
-    sel, util = solve(vals, rptr, cols, plist, wsh, mask)
+    sel, util = solve(vals, rptr, cols, ind, plist, wsh, mask)
     sel = np.asarray(sel)[: sg.n]
 
     g1 = build_large_graph(adj, block_size=128, use_pallas=False)
@@ -59,11 +59,11 @@ def test_sharded_large_plain_lgs_matches_host(mesh8):
               "bias": jnp.ones((1,))}]
     sg = shard_large_graph(adj, 8, block_size=8, interpret=True)
     solve = make_sharded_large_solve(mesh8, sg)
-    vals, rptr, cols, mask = shard_arrays(mesh8, sg)
+    vals, rptr, cols, ind, mask = shard_arrays(mesh8, sg)
     wpad = np.zeros(sg.n_pad, np.float32)
     wpad[: sg.n] = wts
     wsh = jax.device_put(jnp.asarray(wpad), NamedSharding(mesh8, P("graph")))
-    sel, util = solve(vals, rptr, cols, plist, wsh, mask)
+    sel, util = solve(vals, rptr, cols, ind, plist, wsh, mask)
     ref_set, ref_util = local_greedy_search(adj, wts)
     got = set(np.nonzero(np.asarray(sel)[: sg.n] == 1)[0].tolist())
     assert got == ref_set
