@@ -125,6 +125,7 @@ class MWISSolver:
             from distgcn_tpu.utils.serialization import load_params
             self.params = load_params(npz)
             print(f"loaded {npz}")
+            self._reconcile_arch()
             return True
         try:
             from distgcn_tpu.compat import tf1_ckpt
@@ -132,9 +133,49 @@ class MWISSolver:
             raw = tf1_ckpt.load_tf1_gcn_params(name, scope=scope)
             self.params = jax.tree_util.tree_map(jnp.asarray, raw)
             print(f"loaded TF1 checkpoint from {name}")
+            self._reconcile_arch()
             return True
         except (FileNotFoundError, ValueError, ImportError):
             return False
+
+    def _reconcile_arch(self) -> None:
+        """Rebuild the model (and the flags that drive feature/support
+        construction) from loaded parameter shapes when they disagree with
+        the configured ones. A few reference zoo dirs hold differently-
+        shaped weights than their names claim (e.g. the cheb2 dirs carry
+        feature_size=32 weights under an ld1 name); the importer trusts
+        shapes, not names — same policy as tests/test_zoo.py."""
+        import dataclasses
+        try:
+            from distgcn_tpu.compat.tf1_ckpt import infer_architecture
+            arch = infer_architecture(self.params)
+        except Exception:
+            return      # non-ChebGCN layouts (mlp2, skip heads): keep as-is
+        cfg = self.flags
+        if self.model_family == "gcn2_dqn":
+            out_flag, diver = 1, cfg.diver_num
+        elif self.model_family == "deep_diver":
+            out_flag, diver = 2 * cfg.diver_num, max(arch["out_dim"] // 2, 1)
+        else:
+            out_flag, diver = cfg.diver_num, arch["out_dim"]
+        if (arch["feature_size"] == cfg.feature_size
+                and arch["hidden_dim"] == cfg.hidden1
+                and arch["num_layer"] == cfg.num_layer
+                and arch["num_supports"] == cfg.num_supports
+                and arch["out_dim"] == out_flag):
+            return
+        hidden = (arch["hidden_dim"] if arch["num_layer"] > 1
+                  else cfg.hidden1)   # 1-layer ckpts don't pin the hidden dim
+        self.flags = dataclasses.replace(
+            cfg, feature_size=arch["feature_size"], hidden1=hidden,
+            num_layer=arch["num_layer"],
+            max_degree=arch["num_supports"] - 1, diver_num=diver)
+        self.feature_size = self.flags.feature_size
+        self.model = make_model_from_config(self.flags, self.model_family)
+        self.__dict__.pop("_forward_fn", None)   # drop stale jitted forward
+        print(f"checkpoint shapes override config: feature_size="
+              f"{self.flags.feature_size} num_layer={self.flags.num_layer} "
+              f"supports={arch['num_supports']} out_dim={arch['out_dim']}")
 
     def save(self, name: str) -> None:
         from distgcn_tpu.utils.serialization import save_params

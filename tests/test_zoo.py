@@ -80,3 +80,30 @@ def test_zoo_checkpoint_forward_and_solve(name, rng):
     sel = sorted(mwis)
     sub = a[np.ix_(sel, sel)]
     assert sub.nnz == 0
+
+
+def test_mismatched_flags_reconcile_to_checkpoint_shapes(rng):
+    """Loading a zoo dir whose weights disagree with the flag-derived
+    architecture (the overwritten cheb2 dirs) rebuilds the model from the
+    checkpoint shapes (`MWISSolver._reconcile_arch`) instead of crashing
+    at the first forward."""
+    from distgcn_tpu.agents import DQNAgent
+    from distgcn_tpu.utils.config import Config
+
+    name = "result_IS4SAT_deep_ld1_c1_l1_cheb2_diver1_mwis_dqn"
+    if not os.path.isdir(os.path.join(ZOO, name)):
+        pytest.skip("cheb2 zoo dir absent")
+    # flags as the folder NAME claims: ld1 c1 l1 cheb2
+    cfg = Config(feature_size=1, hidden1=1, num_layer=1, diver_num=1,
+                 max_degree=2, predict="mwis", epsilon=0.0, pad_to=64)
+    agent = DQNAgent(cfg, model_family="gcn_dqn")
+    assert agent.load(os.path.join(ZOO, name))
+    # the dir actually holds feature_size=32 weights with 3 supports
+    assert agent.flags.feature_size == 32
+    assert agent.flags.num_supports == 3
+    a = random_graph(rng, 40, 0.1)
+    w = rng.random(40)
+    mwis, util = agent.solve_mwis(a, w)
+    assert np.isfinite(util) and util > 0
+    sel = sorted(mwis)
+    assert a[np.ix_(sel, sel)].nnz == 0
