@@ -131,12 +131,14 @@ class MWISSolver:
             from distgcn_tpu.compat import tf1_ckpt
             scope = "gcn_dqn" if self.model_family == "gcn_dqn" else "gcn2_dqn"
             raw = tf1_ckpt.load_tf1_gcn_params(name, scope=scope)
-            self.params = jax.tree_util.tree_map(jnp.asarray, raw)
-            print(f"loaded TF1 checkpoint from {name}")
-            self._reconcile_arch()
-            return True
         except (FileNotFoundError, ValueError, ImportError):
             return False
+        self.params = jax.tree_util.tree_map(jnp.asarray, raw)
+        print(f"loaded TF1 checkpoint from {name}")
+        # outside the try: a reconcile failure must surface, not be
+        # swallowed into "load failed" after params were already replaced
+        self._reconcile_arch()
+        return True
 
     def _reconcile_arch(self) -> None:
         """Rebuild the model (and the flags that drive feature/support
@@ -173,6 +175,13 @@ class MWISSolver:
         self.feature_size = self.flags.feature_size
         self.model = make_model_from_config(self.flags, self.model_family)
         self.__dict__.pop("_forward_fn", None)   # drop stale jitted forward
+        # refresh state that was shaped by the pre-load architecture
+        if hasattr(self, "target_params"):
+            self.target_params = jax.tree_util.tree_map(jnp.copy,
+                                                        self.params)
+        if hasattr(self, "trainer"):
+            from distgcn_tpu.rl.train import ReplayTrainer
+            self.trainer = ReplayTrainer(self, style=self.trainer.style)
         print(f"checkpoint shapes override config: feature_size="
               f"{self.flags.feature_size} num_layer={self.flags.num_layer} "
               f"supports={arch['num_supports']} out_dim={arch['out_dim']}")

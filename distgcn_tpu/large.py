@@ -67,10 +67,9 @@ class LargeGraph:
     ell_valid: jnp.ndarray      # [n_pad, K] bool (real-edge mask)
     bsr: Optional[BsrMatrix] = None      # TPU only
     row_ptr: Optional[jnp.ndarray] = None
-    # int8 0/1 structure-only BSR for the LGS neighbor-max: a SMALLER block
-    # size than the SpMM's — the neighbor-max is VPU-compute-bound on the
-    # dense block area (nb * bs^2), which shrinks with bs, while the SpMM
-    # is stream-bound and prefers big blocks
+    # int8 0/1 structure-only BSR for the LGS neighbor-max (half the bytes
+    # of the bf16 value blocks). Block size is independently tunable, but
+    # measured fastest EQUAL to the SpMM's (see build_large_graph)
     ind_bsr: Optional[BsrMatrix] = None
     interpret: bool = False              # Pallas interpret mode (tests)
 
@@ -114,14 +113,25 @@ def build_large_graph(adj, block_size: int = 512,
         # relative error on the GCN scores (LGS still compares f32 weights)
         g.bsr = BsrMatrix.from_scipy(anorm, block_size, dtype=block_dtype)
         g.row_ptr = bsr_row_ptr(g.bsr)
-        ind = anorm.copy()
-        ind.data[:] = 1.0        # structure only; n_pad stays the SpMM's
-        ind.resize(n_pad, n_pad)
         # measured: same block size as the SpMM's is fastest (5.06 ms vs
         # 5.37/6.50 at 256/128 for the N=65536 LGS) — per-block loop
         # overhead beats the dense-area savings of smaller blocks
-        g.ind_bsr = BsrMatrix.from_scipy(ind, ind_block_size or block_size,
-                                         dtype=np.int8)
+        ibs = ind_block_size or block_size
+        if n_pad % ibs:
+            raise ValueError(
+                f"ind_block_size={ibs} must divide n_pad={n_pad} or the "
+                "LGS kernel would read past the weight vector")
+        if ibs == block_size:
+            # structure derivable from the value blocks already on device
+            g.ind_bsr = BsrMatrix(
+                (g.bsr.blk_vals != 0).astype(jnp.int8), g.bsr.blk_rows,
+                g.bsr.blk_cols, g.bsr.n_rows, g.bsr.n_cols, block_size,
+                nb_real=g.bsr.nb_real)
+        else:
+            ind = anorm.copy()
+            ind.data[:] = 1.0    # structure only; n_pad stays the SpMM's
+            ind.resize(n_pad, n_pad)
+            g.ind_bsr = BsrMatrix.from_scipy(ind, ibs, dtype=np.int8)
     return g
 
 
@@ -217,6 +227,12 @@ def bsr_lgs(graph: LargeGraph, arrs: dict, wts: jnp.ndarray,
     ind = graph.ind_bsr
     n_rows, ibs = ind.n_rows, ind.block_size
     n = wts.shape[0]
+    if n_rows >= 1 << 24:
+        # ranks ride the f32 neighbor-max; integers above 2^24 are not
+        # exact in f32, so tied ranks would stall rounds (same guard as
+        # parallel/large_sharded.make_sharded_large_solve)
+        raise ValueError(f"n_pad={n_rows} >= 2^24: LGS ranks lose "
+                         "exactness in f32 — partition the solve")
     ranks = lgs_ranks(wts).astype(jnp.float32)
     sel0 = jnp.where(mask, jnp.int8(-1), jnp.int8(0))
     cap = n if max_rounds is None else int(max_rounds)

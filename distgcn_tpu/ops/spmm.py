@@ -506,10 +506,11 @@ def _nbr_max_chunk_kernel(blk_rows_ref, blk_cols_ref, ind_hbm, x_ref,
                                              "interpret"))
 def _bsr_nbr_max_chunks(blk_ind, blk_rows, blk_cols, x, n_rows: int,
                         block_size: int, interpret: bool = False):
-    """Chunk-grid `_bsr_nbr_max` over 0/1 indicator blocks (int8 — see
-    `bsr_indicator`). Requires the block count padded to a multiple of
-    `_CHUNK` (BsrMatrix.from_scipy layout) and x + output small enough for
-    VMEM — see `_nbr_max_fits_vmem`. x: [n_cols] f32."""
+    """Chunk-grid `_bsr_nbr_max` over 0/1 int8 indicator blocks (built by
+    `large.build_large_graph` / `parallel.large_sharded`). Requires the
+    block count padded to a multiple of `_CHUNK` (BsrMatrix.from_scipy
+    layout) and x + output small enough for VMEM — see
+    `_nbr_max_fits_vmem`. x: [n_cols] f32."""
     nb, bs, _ = blk_ind.shape
     nr = n_rows // bs
     n_cols = x.shape[0]

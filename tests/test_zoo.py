@@ -107,3 +107,10 @@ def test_mismatched_flags_reconcile_to_checkpoint_shapes(rng):
     assert np.isfinite(util) and util > 0
     sel = sorted(mwis)
     assert a[np.ix_(sel, sel)].nnz == 0
+    # trainer/target state must be re-shaped for the reconciled params
+    import jax
+    assert (jax.tree_util.tree_structure(agent.target_params)
+            == jax.tree_util.tree_structure(agent.params))
+    assert (jax.tree_util.tree_structure(agent.trainer.opt_state)
+            == jax.tree_util.tree_structure(
+                agent.trainer.optimizer.init(agent.params)))
