@@ -36,7 +36,8 @@ def main(argv=None, max_sweeps: int = 3):
 
     files = list_dataset(cfg.datapath)
     dataset = os.path.basename(os.path.normpath(cfg.datapath))
-    solver_tag = "mwis_exact" if cfg.solver == "optimal" else "mp_clique_greedy"
+    solver_tag = {"optimal": "mwis_exact",
+                  "milp": "mwis_milp"}.get(cfg.solver, "mp_clique_greedy")
     os.makedirs(ns.output_dir, exist_ok=True)
     out_csv = os.path.join(ns.output_dir, f"{solver_tag}_{dataset}.csv")
 
@@ -60,6 +61,9 @@ def main(argv=None, max_sweeps: int = 3):
             t0 = time.time()
             if cfg.solver == "optimal":
                 _, util, status = mwis_exact(inst.adj, inst.weights, timeout)
+            elif cfg.solver == "milp":
+                from distgcn_tpu.solvers.exact import mwis_milp
+                _, util, status = mwis_milp(inst.adj, inst.weights, timeout)
             else:
                 from distgcn_tpu.solvers.relax import mp_greedy
                 _, util = mp_greedy(inst.adj, inst.weights)

@@ -225,3 +225,37 @@ def get_mwis(adj, wts) -> Tuple[set, float]:
         if val > best_val:
             best, best_val = set(mis), val
     return best, best_val
+
+
+def mwis_milp(adj, wts, time_limit: float = 300.0
+              ) -> Tuple[np.ndarray, float, str]:
+    """Exact MWIS via an independent MIP engine (HiGHS through
+    scipy.optimize.milp, edge formulation x_u + x_v <= 1).
+
+    Second, algorithmically unrelated prover used to cross-validate the
+    native B&B (`mwis_exact`) — e.g. it adjudicated the six stale rows in
+    the reference's recorded BA Gurobi sweep (RESULTS.md). Same return
+    contract as `mwis_exact`: (0/1 selection, utility, status).
+    """
+    from scipy.optimize import milp, LinearConstraint, Bounds
+
+    a = sp.csr_matrix(adj)
+    w = np.asarray(wts, dtype=np.float64).flatten()
+    n = w.size
+    coo = sp.triu(a, 1).tocoo()
+    if coo.nnz == 0:
+        sel = (w > 0).astype(np.int8)
+        return sel, float(w[w > 0].sum()), "Optimal"
+    pairs = np.column_stack([coo.row, coo.col]).ravel()
+    A = sp.coo_matrix((np.ones(coo.nnz * 2),
+                       (np.repeat(np.arange(coo.nnz), 2), pairs)),
+                      shape=(coo.nnz, n))
+    res = milp(c=-w, constraints=LinearConstraint(A, -np.inf, 1),
+               bounds=Bounds(0, 1), integrality=np.ones(n),
+               options={"time_limit": float(time_limit)})
+    if res.x is None:
+        return np.zeros(n, np.int8), 0.0, "Timeout"
+    sel = (res.x > 0.5).astype(np.int8)
+    util = float(w[sel == 1].sum())
+    status = "Optimal" if res.status == 0 else "Timeout"
+    return sel, util, status

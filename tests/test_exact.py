@@ -125,3 +125,20 @@ def test_maxpool_aggregate(rng):
         for f in range(4):
             expect = (x[b] @ np.diag(y[b, :, f])).max(axis=1)
             np.testing.assert_allclose(out[b, :, f], expect, rtol=1e-6)
+
+
+def test_milp_cross_validates_native_bnb(rng):
+    """Two unrelated exact engines (native B&B vs HiGHS MIP) must prove
+    the same optimum on random instances."""
+    from distgcn_tpu.solvers.exact import mwis_exact, mwis_milp
+    from conftest import random_graph
+    import numpy as np
+    for n, p in [(30, 0.15), (60, 0.1), (60, 0.25)]:
+        a = random_graph(rng, n, p)
+        w = rng.random(n)
+        _, u1, s1 = mwis_exact(a, w, 30.0)
+        sel, u2, s2 = mwis_milp(a, w, 30.0)
+        assert s1 == "Optimal" and s2 == "Optimal"
+        assert abs(u1 - u2) < 1e-9 * max(1.0, u1)
+        ch = np.nonzero(sel == 1)[0]
+        assert a[np.ix_(ch, ch)].nnz == 0
