@@ -32,25 +32,61 @@ def main(argv=None, max_sweeps: int = 3):
     import argparse
     extra = argparse.ArgumentParser()
     extra.add_argument("--output_dir", default="./output")
+    extra.add_argument("--shard", default="",
+                       help="'i/k': process only rows with index%%k==i, "
+                            "writing to a _shard{i} CSV (merge with "
+                            "--merge_shards k when all workers finish)")
+    extra.add_argument("--merge_shards", type=int, default=0,
+                       help="fold _shard{0..k-1} CSVs into the main CSV")
     ns, _ = extra.parse_known_args(argv)
 
     files = list_dataset(cfg.datapath)
     dataset = os.path.basename(os.path.normpath(cfg.datapath))
-    solver_tag = {"optimal": "mwis_exact",
+    solver_tag = {"optimal": "mwis_exact", "auto": "mwis_exact",
                   "milp": "mwis_milp"}.get(cfg.solver, "mp_clique_greedy")
     os.makedirs(ns.output_dir, exist_ok=True)
-    out_csv = os.path.join(ns.output_dir, f"{solver_tag}_{dataset}.csv")
+    main_csv = os.path.join(ns.output_dir, f"{solver_tag}_{dataset}.csv")
+
+    if ns.merge_shards:
+        df = pd.read_csv(main_csv, index_col=0)
+        for i in range(ns.merge_shards):
+            scsv = main_csv.replace(".csv", f"_shard{i}.csv")
+            if not os.path.isfile(scsv):
+                continue
+            sdf = pd.read_csv(scsv, index_col=0)
+            done = sdf[sdf["p"] > 0]
+            for idx, row in done.iterrows():
+                if df.loc[idx, "p"] == 0:
+                    df.loc[idx, ["p", "runtime", "status"]] = \
+                        row[["p", "runtime", "status"]].values
+        df.to_csv(main_csv)
+        print(f"merged: {(df['p'] > 0).sum()}/{len(df)} proven -> {main_csv}")
+        return df
+
+    shard_i, shard_k = 0, 1
+    if ns.shard:
+        shard_i, shard_k = (int(t) for t in ns.shard.split("/"))
+    out_csv = main_csv if shard_k == 1 else \
+        main_csv.replace(".csv", f"_shard{shard_i}.csv")
 
     if os.path.isfile(out_csv):
         df = pd.read_csv(out_csv, index_col=0)
+    elif shard_k > 1 and os.path.isfile(main_csv):
+        df = pd.read_csv(main_csv, index_col=0)  # seed shard from main
     else:
         df = pd.DataFrame({"data": files, "p": np.zeros(len(files)),
                            "runtime": np.zeros(len(files)),
                            "status": [""] * len(files)})
 
+    def _cost(fname):  # edge-count proxy: cheap rows first within a sweep
+        import re
+        m = re.search(r"_n(\d+)_p([\d.]+)_", fname)
+        return float(m.group(1)) ** 2 * float(m.group(2)) if m else 0.0
+
     timeout = float(cfg.timeout)
     for sweep in range(max_sweeps):
-        todo = df.index[df["p"] == 0].tolist()
+        todo = [i for i in df.index[df["p"] == 0] if i % shard_k == shard_i]
+        todo.sort(key=lambda i: _cost(df.loc[i, "data"]))
         if not todo:
             break
         print(f"sweep {sweep}: {len(todo)} unsolved, timeout {timeout}s")
@@ -64,20 +100,36 @@ def main(argv=None, max_sweeps: int = 3):
             elif cfg.solver == "milp":
                 from distgcn_tpu.solvers.exact import mwis_milp
                 _, util, status = mwis_milp(inst.adj, inst.weights, timeout)
+            elif cfg.solver == "auto":
+                # portfolio: short native B&B pass (closes easy rows and
+                # supplies the ILS incumbent), then cutting-plane MILP
+                # (`mwis_cut`) with the remaining budget for the sparse tail
+                from distgcn_tpu.solvers.exact import mwis_cut
+                t_bnb = min(timeout * 0.15, 30.0)
+                _, util, status = mwis_exact(inst.adj, inst.weights, t_bnb)
+                if status != "Optimal":
+                    _, util2, status = mwis_cut(
+                        inst.adj, inst.weights, timeout - t_bnb,
+                        incumbent=util)
+                    util = max(util, util2)
             else:
                 from distgcn_tpu.solvers.relax import mp_greedy
                 _, util = mp_greedy(inst.adj, inst.weights)
                 status = "Rounded"
             runtime = time.time() - t0
             ratio = util / greedy_util if greedy_util else 1.0
-            # only record as done when proven (or heuristic modes)
-            df.loc[idx, "p"] = ratio if status != "Timeout" else 0.0
+            # only record as done when proven (or heuristic modes);
+            # Timeout AND Failed(x) rows stay p=0 for the next sweep
+            df.loc[idx, "p"] = ratio if status in ("Optimal", "Rounded") \
+                else 0.0
             df.loc[idx, "runtime"] = runtime
             df.loc[idx, "status"] = status
             df.to_csv(out_csv)
             print(f"{fname}: p={ratio:.6f} status={status} "
                   f"runtime={runtime:.2f}s")
-        timeout *= 10  # escalate (mwis_mlp_test.py:152)
+        # escalate (mwis_mlp_test.py:152), capped at the reference tail's
+        # own budget (Gurobi needed up to ~3000 s there)
+        timeout = min(timeout * 10, 3600.0)
     solved = df[df["p"] > 0]
     if len(solved):
         print(f"mean p over {len(solved)} solved: {solved['p'].mean():.6f} "

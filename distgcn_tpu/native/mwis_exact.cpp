@@ -323,6 +323,92 @@ struct Solver {
         return best;
     }
 
+    // ILS incumbent: iterated local search on top of GRASP (Andrade-style
+    // force-insert perturbation). Each iteration force-inserts 1-3 random
+    // non-members (evicting their selected neighbors), repairs greedily over
+    // the freed candidates, re-runs the (1,2)-swap, and accepts improvements.
+    // Far stronger incumbents than GRASP alone on sparse cores (where the
+    // 60 s GRASP incumbent sat 4% below optimal on ER n=300 p=0.033 tails).
+    double ils(const uint64_t* P, std::vector<int>& best_sel,
+               double budget_sec) const {
+        double best = grasp(P, best_sel);
+        auto end = Clock::now() + std::chrono::duration_cast<Clock::duration>(
+            std::chrono::duration<double>(budget_sec));
+        uint64_t rng = 0xd1b54a32d192ed03ULL;
+        auto rnd_u32 = [&]() {
+            rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
+            return (uint32_t)(rng >> 32);
+        };
+        std::vector<int> cand0;
+        for_each(P, [&](int v) { if (w[v] > 0) cand0.push_back(v); });
+        if (cand0.empty()) return best;
+        std::sort(cand0.begin(), cand0.end(), [&](int a, int b) {
+            return w[a] > w[b];  // repair inserts heaviest-first
+        });
+        std::vector<int> cur = best_sel;
+        double curval = best;
+        std::vector<uint64_t> selmask(words);
+        int stall = 0;
+        while (Clock::now() < end && !timed_out) {
+            // perturb: force-insert k random vertices
+            std::fill(selmask.begin(), selmask.end(), 0);
+            for (int v : cur) selmask[v >> 6] |= (1ULL << (v & 63));
+            int k = 1 + (int)(rnd_u32() % (stall > 20 ? 3u : 1u));
+            std::vector<int> sel = cur;
+            double val = curval;
+            for (int t = 0; t < k; ++t) {
+                int v = cand0[rnd_u32() % cand0.size()];
+                if (selmask[v >> 6] & (1ULL << (v & 63))) continue;
+                // evict selected neighbors of v
+                const uint64_t* rv = g.row(v);
+                std::vector<int> keep;
+                keep.reserve(sel.size() + 1);
+                for (int u : sel) {
+                    if (rv[u >> 6] & (1ULL << (u & 63))) {
+                        val -= w[u];
+                        selmask[u >> 6] &= ~(1ULL << (u & 63));
+                    } else keep.push_back(u);
+                }
+                sel.swap(keep);
+                sel.push_back(v);
+                selmask[v >> 6] |= (1ULL << (v & 63));
+                val += w[v];
+            }
+            // repair: greedy over remaining candidates not blocked by sel
+            std::vector<uint64_t> blocked(words, 0);
+            for (int u : sel) {
+                const uint64_t* ru = g.row(u);
+                for (int wi = 0; wi < words; ++wi) blocked[wi] |= ru[wi];
+                blocked[u >> 6] |= (1ULL << (u & 63));
+            }
+            for (int u : cand0) {
+                if (blocked[u >> 6] & (1ULL << (u & 63))) continue;
+                if (!in(P, u)) continue;
+                sel.push_back(u);
+                val += w[u];
+                const uint64_t* ru = g.row(u);
+                for (int wi = 0; wi < words; ++wi) blocked[wi] |= ru[wi];
+                blocked[u >> 6] |= (1ULL << (u & 63));
+            }
+            val = improve_12(P, sel, val);
+            if (val > curval - 1e-12) {   // accept equal-or-better (plateau)
+                cur.swap(sel);
+                curval = val;
+                if (val > best + 1e-12) {
+                    best = val;
+                    best_sel = cur;
+                    stall = 0;
+                } else ++stall;
+            } else ++stall;
+            if (stall > 60) {  // restart from best
+                cur = best_sel;
+                curval = best;
+                stall = 0;
+            }
+        }
+        return best;
+    }
+
     // split off the connected component of P containing v
     void component_of(const uint64_t* P, int v, uint64_t* comp) const {
         std::fill(comp, comp + words, 0);
@@ -625,7 +711,16 @@ struct Solver {
         }
         // ---- single connected component: B&B
         std::vector<int> best_sel;
-        double best = grasp(P.data(), best_sel) - 1e-12;
+        double remain = std::chrono::duration<double>(
+            deadline - Clock::now()).count();
+        int live = 0;
+        for (int wi = 0; wi < words; ++wi)
+            live += __builtin_popcountll(P[wi]);
+        // ILS budget: worth it only on cores big enough to have a gap
+        double budget = (live >= 40)
+            ? std::min(std::max(0.05 * remain, 0.0), 3.0) : 0.0;
+        double best = (budget > 0.01 ? ils(P.data(), best_sel, budget)
+                                     : grasp(P.data(), best_sel)) - 1e-12;
         std::vector<int> cur;
         bnb(P, 0.0, cur, best, best_sel);
         out.insert(out.end(), best_sel.begin(), best_sel.end());
