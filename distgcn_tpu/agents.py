@@ -161,7 +161,11 @@ class MWISSolver:
         else:
             out_flag, diver = cfg.diver_num, arch["out_dim"]
         if (arch["feature_size"] == cfg.feature_size
-                and arch["hidden_dim"] == cfg.hidden1
+                # 1-layer ckpts don't pin the hidden dim (hidden_dim ==
+                # out_dim there), so skip that term or every matching
+                # 1-layer load would spuriously rebuild the model/trainer
+                and (arch["num_layer"] == 1
+                     or arch["hidden_dim"] == cfg.hidden1)
                 and arch["num_layer"] == cfg.num_layer
                 and arch["num_supports"] == cfg.num_supports
                 and arch["out_dim"] == out_flag):

@@ -99,6 +99,15 @@ def rollout_main(cfg: Config, ns):
         model_origin.split("/")[-1] + f"_rs{ns.max_pops}_{ds}.csv")
     if os.path.isfile(out_csv):
         df = pd.read_csv(out_csv, index_col=0)
+        # reconcile with the current dataset listing: files added since the
+        # CSV was written get fresh p=0 rows; rows whose files vanished are
+        # dropped instead of crashing load_mat mid-sweep
+        known = set(df["data"])
+        new = [f for f in files if f not in known]
+        if new:
+            df = pd.concat([df, pd.DataFrame(
+                {"data": new, "p": np.zeros(len(new))})], ignore_index=True)
+        df = df[df["data"].isin(set(files))].reset_index(drop=True)
     else:
         df = pd.DataFrame({"data": files, "p": np.zeros(len(files))})
 

@@ -333,6 +333,10 @@ def _bsr_nbr_max(blk_vals, blk_rows, blk_cols, x, n_rows: int,
     """
     nb, bs, _ = blk_vals.shape
     nr = n_rows // bs
+    # x must cover every referenced column block: an under-padded x would
+    # produce silent out-of-bounds block reads via the bc[i] BlockSpec
+    # (bsr_neighbor_max pads; this guards direct internal callers)
+    assert x.shape[0] % bs == 0, (x.shape, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
