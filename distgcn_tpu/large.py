@@ -1,14 +1,15 @@
-"""Large-graph end-to-end pipeline: Pallas BSR SpMM inside the GCN forward.
+"""Large-graph end-to-end pipeline: Pallas kernels inside the GCN forward.
 
 The reference's hot op is ``support @ (X @ W)`` (gcn/layers.py:199-208) on
 graphs of N <= ~300 nodes; the dense batched path (models/layers.py) covers
 that regime. This module is the **large-N** model path (N ~ 1e4..1e6, e.g. a
-city-scale conflict graph): the normalized adjacency is stored block-sparse
-(`ops.spmm.BsrMatrix`) and every support application in the forward runs
-through the Pallas row-grid SpMM kernel (`ops.spmm.bsr_spmm_rows`); the LGS
-solve streams int8 structure blocks through the Pallas chunk-grid
-neighbor-max (`bsr_lgs`; `ops.lgs.ell_lgs` is the non-TPU fallback).
-End-to-end:
+city-scale conflict graph). On TPU, 0/1 adjacencies run whole GCN layers
+through the fused int8-structure Pallas kernel (`ops/cheb_fused.py` —
+normalize_adj is separable, so structure + two diagonal scalings replace
+value blocks entirely); K>1 supports and weighted adjacencies fall back to
+the BSR SpMM kernels (`ops.spmm`). The LGS solve streams the same int8
+structure blocks through the Pallas chunk-grid/panel-grid neighbor-max
+(`bsr_lgs`; `ops.lgs.ell_lgs` is the non-TPU fallback). End-to-end:
 
     weights -> features -> L-layer ChebGCN (BSR SpMM) -> gcn weights
             -> ELL LGS -> schedule + utility
@@ -32,6 +33,7 @@ On non-TPU backends the same pipeline runs with the XLA ELL gather SpMM
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -65,35 +67,58 @@ class LargeGraph:
     ell_cols: jnp.ndarray       # [n_pad, K] int32
     ell_vals: jnp.ndarray       # [n_pad, K] f32 (Anorm values; 0 = padding)
     ell_valid: jnp.ndarray      # [n_pad, K] bool (real-edge mask)
+    # f32/bf16 Anorm VALUE blocks — built only when the normalization is
+    # not separable (weighted adjacency) or forced via value_blocks=True;
+    # for 0/1 adjacencies the int8 structure blocks + `r` cover every op
     bsr: Optional[BsrMatrix] = None      # TPU only
     row_ptr: Optional[jnp.ndarray] = None
-    # int8 0/1 structure-only BSR for the LGS neighbor-max (half the bytes
-    # of the bf16 value blocks). Block size is independently tunable, but
-    # measured fastest EQUAL to the SpMM's (see build_large_graph)
+    # int8 0/1 structure-only BSR: the LGS neighbor-max operand AND (for
+    # separable graphs) the SpMM/fused-layer operand. Block size
+    # independently tunable (see build_large_graph for the measured pick)
     ind_bsr: Optional[BsrMatrix] = None
+    ind_row_ptr: Optional[jnp.ndarray] = None
+    # panel metadata for the ind stream (ops.spmm.BsrPanels; ind_bsr IS
+    # panels.bsr) — lets the LGS neighbor-max run panel-resident at any N
+    panels: Optional["spmm_mod.BsrPanels"] = None
+    # Anorm = diag(r) A diag(r) with r = deg^-1/2, exact for 0/1
+    # adjacencies (normalize_adj is separable there) — lets every SpMM
+    # stream structure instead of values (ops/cheb_fused.py)
+    r: Optional[jnp.ndarray] = None      # [n_pad, 1] f32
+    separable: bool = False
     interpret: bool = False              # Pallas interpret mode (tests)
 
     @property
     def use_pallas(self) -> bool:
-        return self.bsr is not None
+        return self.ind_bsr is not None
 
 
 def build_large_graph(adj, block_size: int = 512,
                       use_pallas: Optional[bool] = None,
                       interpret: bool = False,
                       block_dtype=np.float32,
-                      ind_block_size: Optional[int] = None) -> LargeGraph:
+                      ind_block_size: Optional[int] = None,
+                      value_blocks: Optional[bool] = None) -> LargeGraph:
     """Preprocess a scipy adjacency into a `LargeGraph`.
 
     Keep the graph locality-ordered (geometric/RCM) before calling — BSR
     density, and with it kernel throughput, depends on it (ops/spmm.py
     module notes).
+
+    For 0/1 adjacencies (every conflict graph) normalize_adj is separable
+    (Anorm = diag(r) A diag(r)), so by default only int8 STRUCTURE blocks
+    go to the device — the SpMM and the LGS share them — cutting block
+    traffic 4x and HBM footprint ~3x vs f32 value blocks. Pass
+    ``value_blocks=True`` to also build value blocks (the
+    Precision.HIGHEST parity path); weighted adjacencies always build them.
     """
     adj = sp.csr_matrix(adj)
     n = adj.shape[0]
     anorm = sp.csr_matrix(prep.normalize_adj(adj))
+    separable = bool(adj.nnz == 0 or np.all(adj.data == 1))
     if use_pallas is None:
         use_pallas = pallas_enabled()
+    if value_blocks is None:
+        value_blocks = not separable
     n_pad = -(-n // block_size) * block_size
     cols, vals = ell_pack(anorm)
     k = cols.shape[1]
@@ -107,31 +132,38 @@ def build_large_graph(adj, block_size: int = 512,
         n=n, n_pad=n_pad, nnz=int(adj.nnz), block_size=block_size,
         mask=jnp.asarray(mask), ell_cols=jnp.asarray(cols_p),
         ell_vals=jnp.asarray(vals_p), ell_valid=jnp.asarray(vals_p != 0),
-        interpret=interpret)
+        separable=separable, interpret=interpret)
+    if separable:
+        # d_inv_sqrt exactly as normalize_adj computes it (float64 power)
+        rowsum = np.asarray(adj.sum(1)).ravel()
+        with np.errstate(divide="ignore"):
+            r = np.power(rowsum, -0.5)
+        r[np.isinf(r)] = 0.0
+        rp = np.zeros((n_pad, 1), np.float32)
+        rp[:n, 0] = r
+        g.r = jnp.asarray(rp)
     if use_pallas:
-        # block_dtype=bfloat16 halves upload + HBM block traffic at ~1e-2
-        # relative error on the GCN scores (LGS still compares f32 weights)
-        g.bsr = BsrMatrix.from_scipy(anorm, block_size, dtype=block_dtype)
-        g.row_ptr = bsr_row_ptr(g.bsr)
-        # measured: same block size as the SpMM's is fastest (5.06 ms vs
-        # 5.37/6.50 at 256/128 for the N=65536 LGS) — per-block loop
-        # overhead beats the dense-area savings of smaller blocks
-        ibs = ind_block_size or block_size
+        if value_blocks:
+            # block_dtype=bfloat16 halves upload + HBM block traffic at
+            # ~1e-2 relative error on the GCN scores
+            g.bsr = BsrMatrix.from_scipy(anorm, block_size,
+                                         dtype=block_dtype)
+            g.row_ptr = bsr_row_ptr(g.bsr)
+        # measured end-to-end (fused forward + LGS, N=65k/262k): 256 beats
+        # 512 (3.28/2.80 vs 3.23/2.66 Gedge/s) — the fused forward's MXU +
+        # DMA waste shrinks with block area faster than per-block loop
+        # overhead grows; 128 halves the savings and 4x's the overhead
+        ibs = ind_block_size or min(block_size, 256)
         if n_pad % ibs:
             raise ValueError(
                 f"ind_block_size={ibs} must divide n_pad={n_pad} or the "
                 "LGS kernel would read past the weight vector")
-        if ibs == block_size:
-            # structure derivable from the value blocks already on device
-            g.ind_bsr = BsrMatrix(
-                (g.bsr.blk_vals != 0).astype(jnp.int8), g.bsr.blk_rows,
-                g.bsr.blk_cols, g.bsr.n_rows, g.bsr.n_cols, block_size,
-                nb_real=g.bsr.nb_real)
-        else:
-            ind = anorm.copy()
-            ind.data[:] = 1.0    # structure only; n_pad stays the SpMM's
-            ind.resize(n_pad, n_pad)
-            g.ind_bsr = BsrMatrix.from_scipy(ind, ibs, dtype=np.int8)
+        ind = anorm.copy()
+        ind.data[:] = 1.0    # structure only; n_pad stays the SpMM's
+        ind.resize(n_pad, n_pad)
+        g.panels = spmm_mod.bsr_panels(ind, ibs, dtype=np.int8)
+        g.ind_bsr = g.panels.bsr
+        g.ind_row_ptr = bsr_row_ptr(g.ind_bsr)
     return g
 
 
@@ -144,11 +176,18 @@ def graph_arrays(graph: LargeGraph) -> dict:
     d = {"mask": graph.mask, "ell_cols": graph.ell_cols,
          "ell_vals": graph.ell_vals, "ell_valid": graph.ell_valid}
     if graph.use_pallas:
-        d.update(blk_vals=graph.bsr.blk_vals, row_ptr=graph.row_ptr,
-                 blk_cols=graph.bsr.blk_cols, blk_rows=graph.bsr.blk_rows,
-                 ind_vals=graph.ind_bsr.blk_vals,
+        d.update(ind_vals=graph.ind_bsr.blk_vals,
                  ind_rows=graph.ind_bsr.blk_rows,
-                 ind_cols=graph.ind_bsr.blk_cols)
+                 ind_cols=graph.ind_bsr.blk_cols,
+                 ind_row_ptr=graph.ind_row_ptr,
+                 panel_ptr=graph.panels.panel_ptr,
+                 win_start=graph.panels.win_start)
+        if graph.bsr is not None:
+            d.update(blk_vals=graph.bsr.blk_vals, row_ptr=graph.row_ptr,
+                     blk_cols=graph.bsr.blk_cols,
+                     blk_rows=graph.bsr.blk_rows)
+    if graph.r is not None:
+        d["r"] = graph.r
     return d
 
 
@@ -156,6 +195,25 @@ def _make_spmm(graph: LargeGraph, arrs: dict
                ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """y -> Anorm @ y on [n_pad, F]; static config from `graph`, array data
     from `arrs` (traced arguments)."""
+    if graph.use_pallas and "blk_vals" not in arrs:
+        # separable: Anorm@y = r ⊙ (A @ (r ⊙ y)) through the int8
+        # structure blocks — values stay exact f32, block traffic 1/4
+        n_rows = graph.ind_bsr.n_rows
+        ibs, interp = graph.ind_bsr.block_size, graph.interpret
+
+        def anorm_spmm(y):
+            f = y.shape[1]
+            fp = -(-f // 128) * 128
+            if fp != f:
+                y = jnp.pad(y, ((0, 0), (0, fp - f)))
+            out = spmm_mod._bsr_spmm_rows(
+                arrs["ind_vals"], arrs["ind_row_ptr"], arrs["ind_cols"],
+                y * arrs["r"], n_rows, ibs, interpret=interp)
+            out = out * arrs["r"]
+            return out[:, :f] if fp != f else out
+
+        return anorm_spmm
+
     if graph.use_pallas:
         n_rows, bs, interp = graph.bsr.n_rows, graph.block_size, graph.interpret
 
@@ -181,8 +239,8 @@ def _make_spmm(graph: LargeGraph, arrs: dict
 
 def large_gcn_forward(graph: LargeGraph, params_list, x,
                       hidden_act=leaky_relu02, final_act=identity,
-                      max_degree: int = 1, arrs: Optional[dict] = None
-                      ) -> jnp.ndarray:
+                      max_degree: int = 1, arrs: Optional[dict] = None,
+                      fused: Optional[bool] = None) -> jnp.ndarray:
     """L-layer ChebGCN forward on a large graph (gcn/layers.py:199-208 per
     layer, gcn/models.py:487-575 stacking), every support application through
     the sparse SpMM.
@@ -191,9 +249,35 @@ def large_gcn_forward(graph: LargeGraph, params_list, x,
     (the compat/tf1_ckpt layout, also produced by `params_to_list`).
     x: [n_pad, F] features. Pass `arrs` when calling under jit (see
     `graph_arrays`).
+
+    On TPU, separable graphs with K=1 supports take the fused whole-layer
+    kernel (`ops/cheb_fused.py`: int8 structure blocks + bf16 activation
+    stream — ~4x the value-block SpMM path, bf16-class numerics). Pass
+    ``fused=False`` (or set DISTGCN_LARGE_EXACT=1) for the f32
+    Precision.HIGHEST parity path.
     """
-    anorm_spmm = _make_spmm(graph, arrs if arrs is not None
-                            else graph_arrays(graph))
+    if arrs is None:
+        arrs = graph_arrays(graph)
+    if fused is None:
+        fused = (graph.use_pallas and graph.separable and max_degree == 1
+                 and hidden_act is leaky_relu02
+                 and (final_act is identity or final_act is leaky_relu02)
+                 and os.environ.get("DISTGCN_LARGE_EXACT", "0") != "1")
+    if fused:
+        from distgcn_tpu.ops import cheb_fused
+        dims = [d for p in params_list for d in p["w_0"].shape]
+        f = -(-max(dims) // 128) * 128
+        ind = graph.ind_bsr
+        pans = graph.panels
+        return cheb_fused.fused_forward(
+            arrs["ind_vals"], arrs["ind_row_ptr"], arrs["ind_cols"],
+            arrs["r"], params_list, x, ind.n_rows, ind.block_size, f=f,
+            final_act_mode=1 if final_act is leaky_relu02 else 0,
+            interpret=graph.interpret,
+            blk_rows=arrs["ind_rows"], panel_ptr=arrs["panel_ptr"],
+            win_start=arrs["win_start"], panel_rows=pans.panel_rows,
+            win_blocks=pans.win_blocks, n_panels=pans.n_panels)
+    anorm_spmm = _make_spmm(graph, arrs)
     hp = jax.lax.Precision.HIGHEST
     h = x
     nl = len(params_list)
@@ -239,12 +323,23 @@ def bsr_lgs(graph: LargeGraph, arrs: dict, wts: jnp.ndarray,
     use_chunks = spmm_mod._nbr_max_fits_vmem(
         ind.num_blocks, ibs, n_rows, n_rows,
         arrs["ind_vals"].dtype.itemsize)
+    pans = graph.panels
+    use_panels = (not use_chunks and pans is not None
+                  and spmm_mod._nbr_max_panels_fit_vmem(
+                      pans.panel_rows, ibs, pans.win_blocks,
+                      arrs["ind_vals"].dtype.itemsize))
 
     def nbr_max(x):
         if use_chunks:   # int8 structure stream, x+out VMEM-resident
             return spmm_mod._bsr_nbr_max_chunks(
                 arrs["ind_vals"], arrs["ind_rows"], arrs["ind_cols"], x,
                 n_rows, ibs, interpret=interp)[:n]
+        if use_panels:   # panel-resident x window/output — any N
+            return spmm_mod._bsr_nbr_max_panels(
+                arrs["ind_vals"], arrs["panel_ptr"], arrs["win_start"],
+                arrs["ind_rows"], arrs["ind_cols"], x, n_rows, ibs,
+                pans.panel_rows, pans.win_blocks, pans.n_panels,
+                interpret=interp)[:n]
         return spmm_mod._bsr_nbr_max(arrs["ind_vals"], arrs["ind_rows"],
                                      arrs["ind_cols"], x, n_rows, ibs,
                                      interpret=interp)[:n]

@@ -138,6 +138,11 @@ struct Solver {
             std::chrono::duration<double>(limit_sec));
     }
 
+    // optional externally-supplied incumbent (0/1 per vertex) — e.g. the
+    // best feasible point another portfolio arm (mwis_cut) found; its
+    // restriction to any subproblem P is a valid lower bound
+    std::vector<int8_t> init;
+
     inline bool in(const uint64_t* P, int v) const {
         return P[v >> 6] & (1ULL << (v & 63));
     }
@@ -721,6 +726,22 @@ struct Solver {
             ? std::min(std::max(0.05 * remain, 0.0), 3.0) : 0.0;
         double best = (budget > 0.01 ? ils(P.data(), best_sel, budget)
                                      : grasp(P.data(), best_sel)) - 1e-12;
+        if (!init.empty()) {
+            // restriction of the external incumbent to this component,
+            // sharpened by the 2-improvement, may beat the ILS start
+            std::vector<int> isel;
+            double ival = 0.0;
+            for_each(P.data(), [&](int v) {
+                if (init[v]) { isel.push_back(v); ival += w[v]; }
+            });
+            if (!isel.empty()) {
+                ival = improve_12(P.data(), isel, ival);
+                if (ival - 1e-12 > best) {
+                    best = ival - 1e-12;
+                    best_sel = isel;
+                }
+            }
+        }
         std::vector<int> cur;
         bnb(P, 0.0, cur, best, best_sel);
         out.insert(out.end(), best_sel.begin(), best_sel.end());
@@ -882,14 +903,19 @@ extern "C" {
 
 // Exact MWIS. adjacency as CSR (indptr[n+1], indices), weights w[n].
 // out_sel[n] gets 0/1; returns status 0=optimal 1=timeout(best found).
-int mwis_exact(const int32_t* indptr, const int32_t* indices,
-               const double* w, int n, double timeout_sec,
-               int8_t* out_sel, double* out_val) {
+// init_sel (may be NULL): 0/1 warm-start independent set; its restriction
+// to every subproblem seeds the incumbent (portfolio arms hand their best
+// feasible point back to the B&B this way).
+int mwis_exact_ws(const int32_t* indptr, const int32_t* indices,
+                  const double* w, int n, double timeout_sec,
+                  const int8_t* init_sel,
+                  int8_t* out_sel, double* out_val) {
     BitGraph g(n);
     for (int v = 0; v < n; ++v)
         for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
             if (indices[e] > v) g.add_edge(v, indices[e]);
     Solver s(g, w, timeout_sec);
+    if (init_sel) s.init.assign(init_sel, init_sel + n);
     std::vector<uint64_t> P(g.words, 0);
     for (int v = 0; v < n; ++v) P[v >> 6] |= (1ULL << (v & 63));
     std::vector<int> chosen;
@@ -898,6 +924,13 @@ int mwis_exact(const int32_t* indptr, const int32_t* indices,
     for (int v : chosen) out_sel[v] = 1;
     *out_val = val;
     return s.timed_out ? 1 : 0;
+}
+
+int mwis_exact(const int32_t* indptr, const int32_t* indices,
+               const double* w, int n, double timeout_sec,
+               int8_t* out_sel, double* out_val) {
+    return mwis_exact_ws(indptr, indices, w, n, timeout_sec, nullptr,
+                         out_sel, out_val);
 }
 
 // Centralized greedy (heuristics.py:13-35 semantics, stable tie by id).

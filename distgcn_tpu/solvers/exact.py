@@ -50,6 +50,13 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int,
                 ctypes.c_double, ctypes.POINTER(ctypes.c_int8),
                 ctypes.POINTER(ctypes.c_double)]
+            lib.mwis_exact_ws.restype = ctypes.c_int
+            lib.mwis_exact_ws.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_double)]
             lib.greedy_mwis.restype = ctypes.c_double
             lib.greedy_mwis.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -81,9 +88,13 @@ def _csr_ptrs(a: sp.csr_matrix):
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
 
 
-def mwis_exact(adj, wts, timeout: float = 300.0
+def mwis_exact(adj, wts, timeout: float = 300.0, init_sel=None
                ) -> Tuple[np.ndarray, float, str]:
-    """Exact MWIS. Returns (selected indices, utility, status)."""
+    """Exact MWIS. Returns (selected indices, utility, status).
+
+    init_sel: optional 0/1 warm-start independent set (e.g. the best
+    feasible point another portfolio arm found) — seeds the native B&B's
+    incumbent per subproblem; ignored by the python fallback."""
     a = _csr(adj)
     w = np.ascontiguousarray(np.asarray(wts, dtype=np.float64).flatten())
     n = w.size
@@ -92,12 +103,24 @@ def mwis_exact(adj, wts, timeout: float = 300.0
         _, _, p_indptr, p_indices = _csr_ptrs(a)
         sel = np.zeros(n, dtype=np.int8)
         val = ctypes.c_double(0.0)
-        status = lib.mwis_exact(
-            p_indptr, p_indices,
-            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
-            ctypes.c_double(timeout),
-            sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            ctypes.byref(val))
+        if init_sel is not None:
+            init = np.ascontiguousarray(np.asarray(init_sel, np.int8)
+                                        .flatten())
+            assert init.size == n, (init.size, n)
+            status = lib.mwis_exact_ws(
+                p_indptr, p_indices,
+                w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+                ctypes.c_double(timeout),
+                init.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                ctypes.byref(val))
+        else:
+            status = lib.mwis_exact(
+                p_indptr, p_indices,
+                w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+                ctypes.c_double(timeout),
+                sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                ctypes.byref(val))
         solu = np.nonzero(sel == 1)[0]
         return solu, float(val.value), "Optimal" if status == 0 else "Timeout"
     # python fallback: exact B&B (same algorithm, set-based)

@@ -37,7 +37,9 @@ from distgcn_tpu.utils.config import Config           # noqa: E402
 
 def main():
     pid, nproc, nlocal, nglobal = dist.process_info()
-    assert nproc == 2 and nglobal == 8, (pid, nproc, nlocal, nglobal)
+    # any NPROC x (8/NPROC) layout — the global mesh is always 8 devices
+    assert nproc == int(os.environ["DISTGCN_NUM_PROCESSES"]), (pid, nproc)
+    assert nglobal == 8 and nlocal * nproc == 8, (nlocal, nglobal)
 
     rng = np.random.default_rng(0)   # same stream on every process
 
