@@ -174,7 +174,23 @@ def main():
                           t_pipe(agent.params, gb.adj, gb.wts, gb.mask))
 
     host_params = jax.tree_util.tree_map(np.asarray, agent.params)
-    host_gps = host_baseline(host_params, instances[:12], cfg)
+    # median of 3 sweeps: the host baseline runs on 2 shared CPUs that
+    # background sweeps contend for — a single run swung vs_baseline 2x
+    # between rounds (VERDICT r2 weak #6)
+    host_gps = float(np.median([host_baseline(host_params, instances[:12],
+                                              cfg) for _ in range(3)]))
+
+    # tunnel round-trip: a no-op jit call costs this much regardless of
+    # work, and it varies by tunnel weather (CLAUDE.md RTT protocol) —
+    # recorded so throughput numbers can be read against dispatch cost
+    noop = jax.jit(lambda x: x + 1.0)
+    np.asarray(noop(jnp.float32(0)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(noop(jnp.float32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtts) * 1000)
 
     # --- large-graph model path: N=65536 geometric conflict graph, 20-layer
     # c128 GCN with every support application through the Pallas BSR SpMM +
@@ -195,8 +211,7 @@ def main():
         nl_large = 20
         ladj, lwts, _ = geometric_conflict_graph(65536, avg_degree=48.0,
                                                  seed=0)
-        lg = build_large_graph(ladj, block_size=512,
-                               block_dtype=jnp.bfloat16)
+        lg = build_large_graph(ladj, block_size=512)
         larrs = graph_arrays(lg)
         lmodel = ChebGCN(num_layer=nl_large, hidden_dim=128, out_dim=1,
                          num_supports=2)
@@ -229,11 +244,23 @@ def main():
 
         ms_dqn = amortized_ms(make_large_solve(lg, predict="dqn"))
         ms_hoisted = amortized_ms(make_large_solve(lg))
+        # roofline accounting: the int8 structure blocks are the dominant
+        # stream (shared by the fused forward and the LGS).
+        # bytes_per_edge = block bytes per pass / directed edges (format
+        # efficiency — was ~340 B f32 value blocks in r2, VERDICT weak #1);
+        # hbm_roofline_frac counts the forward's 20 block passes only
+        # (LGS passes + activation streams excluded), so it UNDERSTATES
+        # the achieved fraction of the 819 GB/s v5e HBM datasheet rate
+        ind = lg.ind_bsr
+        blk_bytes = int(ind.num_blocks) * ind.block_size ** 2
         large = {"large_n": lg.n, "large_edges": int(ladj.nnz),
                  "large_solve_ms": round(ms_dqn, 1),
                  "large_gedges_per_s": round(
                      ladj.nnz * nl_large / (ms_dqn / 1000) / 1e9, 3),
-                 "large_hoisted_solve_ms": round(ms_hoisted, 1)}
+                 "large_hoisted_solve_ms": round(ms_hoisted, 1),
+                 "large_bytes_per_edge": round(blk_bytes / ladj.nnz, 1),
+                 "large_hbm_roofline_frac": round(
+                     nl_large * blk_bytes / (ms_dqn / 1000) / 819e9, 3)}
     except Exception as e:  # keep the bench line printing on any failure
         large = {"large_error": str(e)[:120]}
 
@@ -243,6 +270,7 @@ def main():
              "cold_graphs_per_s": round(cold_gps, 1),
              "host_graphs_per_s": round(host_gps, 2),
              "mean_ratio_vs_greedy": round(ratio, 5),
+             "tunnel_rtt_ms": round(rtt_ms, 2),
              "timeslots": T, "load": 0.9,
              "n_graphs": len(instances), "num_layer": cfg.num_layer}
     extra.update(large)
