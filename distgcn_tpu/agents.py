@@ -64,6 +64,15 @@ def build_state_arrays(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
     predict!='mwis': features = w / max(w) broadcast across F (gdpg family,
     no row normalization).
     """
+    supports = prep.simple_polynomials_dense(adj, max_degree)
+    return build_features(wts, mask, feature_size, predict,
+                          feature_mode), supports
+
+
+def build_features(wts: jnp.ndarray, mask: jnp.ndarray, feature_size: int,
+                   predict: str = "mwis", feature_mode: str = "gdpg"):
+    """The weight-dependent half of `build_state_arrays` — resident
+    pipelines precompute the supports once and rebuild only this per slot."""
     b, n = wts.shape
     m = mask.astype(wts.dtype)
     if predict == "mwis":
@@ -71,15 +80,11 @@ def build_state_arrays(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
                         dtype=wts.dtype)
         if feature_mode == "dqn":
             nz = (wts != 0).astype(wts.dtype)
-            features = base * (m * nz)[..., None]
-        else:
-            features = base * m[..., None]
-    else:
-        norm = jnp.max(jnp.abs(wts) * m, axis=-1, keepdims=True) + 1e-9
-        features = jnp.repeat((wts / norm)[..., None], feature_size, axis=-1)
-        features = features * m[..., None]
-    supports = prep.simple_polynomials_dense(adj, max_degree)
-    return features, supports
+            return base * (m * nz)[..., None]
+        return base * m[..., None]
+    norm = jnp.max(jnp.abs(wts) * m, axis=-1, keepdims=True) + 1e-9
+    features = jnp.repeat((wts / norm)[..., None], feature_size, axis=-1)
+    return features * m[..., None]
 
 
 class MWISSolver:
@@ -327,14 +332,22 @@ class MWISSolver:
     def prepare(self, adj) -> dict:
         """Pin a conflict graph on device for repeated scheduling with
         changing weights (the wireless per-timeslot workload: graph static,
-        utilities change every slot). Returns an opaque handle."""
-        from distgcn_tpu.pipeline import make_solve_pipeline
+        utilities change every slot). Supports ([B,S,N,N] — the biggest
+        per-solve stream) and the boolean adjacency are precomputed HERE so
+        per-slot launches rebuild only the [B,N,F] features. Returns an
+        opaque handle."""
+        from distgcn_tpu.pipeline import make_resident_pipeline
         n = adj.shape[0]
         gb = self._to_batch(adj, np.zeros(n))
+        supports = prep.simple_polynomials_dense(gb.adj,
+                                                 self.flags.max_degree)
+        if getattr(self.flags, "compute_dtype", "float32") == "bfloat16":
+            supports = supports.astype(jnp.bfloat16)
         if not hasattr(self, "_resident_pipe"):
-            self._resident_pipe = make_solve_pipeline(
+            self._resident_pipe = make_resident_pipeline(
                 self.model, self.flags, self.feature_mode)
-        return {"gb": gb, "n": n}
+        return {"gb": gb, "n": n, "supports": supports,
+                "adjb": gb.adj > 0}
 
     def solve_mwis_resident(self, handle: dict, wts) -> Tuple[set, float]:
         """GCN+LGS on a prepared graph: streams only the weight vector."""
@@ -342,8 +355,9 @@ class MWISSolver:
         n = handle["n"]
         w = np.zeros((1, gb.pad_n), dtype=np.float32)
         w[0, :n] = np.asarray(wts, dtype=np.float32).flatten()
-        sel, util, _ = self._resident_pipe(self.params, gb.adj,
-                                           jnp.asarray(w), gb.mask)
+        sel, util = self._resident_pipe(self.params, handle["supports"],
+                                        handle["adjb"], jnp.asarray(w),
+                                        gb.mask)
         sel = np.asarray(sel[0, :n])
         mwis = set(np.nonzero(sel == 1)[0].tolist())
         return mwis, float(util[0])

@@ -44,6 +44,8 @@ def main(argv=None):
     extra.add_argument("--output_dir", default="./output")
     extra.add_argument("--rollout", type=int, default=0)
     extra.add_argument("--max_pops", type=int, default=8)
+    extra.add_argument("--batch_pops", type=int, default=8,
+                       help="bsf states evaluated per device launch pair")
     ns, _ = extra.parse_known_args(argv)
 
     if ns.rollout:
@@ -118,7 +120,8 @@ def rollout_main(cfg: Config, ns):
         inst = load_mat(os.path.join(cfg.datapath, fname))
         _, gutil = greedy_search(inst.adj, inst.weights)
         _, util = agent.solve_mwis_bsf(inst.adj, inst.weights,
-                                       max_pops=ns.max_pops)
+                                       max_pops=ns.max_pops,
+                                       batch_pops=ns.batch_pops)
         df.loc[idx, "p"] = util / gutil if gutil else 1.0
         if (j + 1) % 25 == 0 or j + 1 == len(todo):
             df.to_csv(out_csv)

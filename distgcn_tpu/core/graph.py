@@ -32,6 +32,17 @@ def pad_bucket(n: int, bucket: int = 128) -> int:
     return int(max(bucket, -(-n // bucket) * bucket))
 
 
+def graph_fingerprint(adj) -> tuple:
+    """Cheap content key for caching device graph batches across timeslots
+    (the wireless engine re-presents the SAME conflict graph every slot but
+    as possibly-new scipy objects). O(nnz) hashing — orders of magnitude
+    cheaper than re-uploading/densifying the graph."""
+    a = adj if sp.issparse(adj) else sp.csr_matrix(np.asarray(adj))
+    a = a.tocsr()
+    return (a.shape[0], int(a.nnz), hash(a.indptr.tobytes()),
+            hash(a.indices.tobytes()))
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _dense_from_edges(edges: jnp.ndarray, n: int) -> jnp.ndarray:
     """Densify a padded upper-triangular edge list [B, E, 2] on device.

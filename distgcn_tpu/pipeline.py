@@ -62,6 +62,35 @@ def make_solve_pipeline(model, flags: Config, feature_mode: str = "gdpg",
     return solve
 
 
+def make_resident_pipeline(model, flags: Config, feature_mode: str = "gdpg"):
+    """Returns jitted solve(params, supports, adjb, wts, mask) ->
+    (sel [B,N] int8, util [B]) for a PINNED graph: the support stack
+    [B,S,N,N] (the biggest per-solve stream) and the boolean adjacency are
+    precomputed once by `agents.MWISSolver.prepare`; per slot only the
+    weight vector and the [B,N,F] features change (wireless_dqn_test.py's
+    static-graph/changing-utilities workload)."""
+    from distgcn_tpu.agents import build_features
+
+    bf16 = getattr(flags, "compute_dtype", "float32") == "bfloat16"
+
+    @jax.jit
+    def solve(params, supports, adjb, wts, mask):
+        features = build_features(wts, mask, flags.feature_size,
+                                  flags.predict, feature_mode)
+        if bf16:
+            features = features.astype(jnp.bfloat16)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params)
+        out = model.apply({"params": params}, features, supports)
+        act = out[..., 0].astype(wts.dtype) * mask
+        gcn_wts = act * wts if flags.predict == "mwis" else act
+        sel, _, _ = batched_lgs(adjb, gcn_wts, mask)
+        util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+        return sel, util
+
+    return solve
+
+
 class BatchedEvaluator:
     """Evaluate an agent's GCN-LGS over a dataset in device batches.
 

@@ -209,11 +209,26 @@ def _get_cached(agent, kind: str, factory):
 
 
 def _run(agent, adj_0, wts_0, kind: str, factory):
+    from distgcn_tpu.core.graph import graph_fingerprint
+
     wts = np.asarray(wts_0, dtype=np.float64).flatten()
-    gb = agent._to_batch(adj_0, wts)
-    fn = _get_cached(agent, kind, factory)
-    sel, util = fn(agent.params, gb.adj, gb.wts, gb.mask)
     n = wts.size
+    # resident fast path (VERDICT r2 weak #7): the wireless engine calls
+    # DIT/CGS/rollout with the SAME conflict graph every slot — cache the
+    # device batch by content fingerprint so only the weights re-upload
+    gcache = getattr(agent, "_iter_gb_cache", None)
+    if gcache is None:
+        gcache = agent._iter_gb_cache = {}
+    key = graph_fingerprint(adj_0)
+    gb = gcache.get(key)
+    if gb is None:
+        if len(gcache) >= 16:
+            gcache.pop(next(iter(gcache)))
+        gb = gcache[key] = agent._to_batch(adj_0, np.zeros(n))
+    w = np.zeros((1, gb.pad_n), dtype=np.float32)
+    w[0, :n] = wts
+    fn = _get_cached(agent, kind, factory)
+    sel, util = fn(agent.params, gb.adj, jnp.asarray(w), gb.mask)
     sel = np.asarray(sel[0, :n])
     mwis = set(np.nonzero(sel == 1)[0].tolist())
     return mwis, float(util[0])
