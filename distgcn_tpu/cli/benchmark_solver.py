@@ -78,14 +78,6 @@ def main(argv=None, max_sweeps: int = 3):
                            "runtime": np.zeros(len(files)),
                            "status": [""] * len(files)})
 
-    def _to_mask(sel, n):
-        """mwis_exact returns indices; mwis_cut returns a 0/1 mask."""
-        sel = np.asarray(sel)
-        if sel.size == n and sel.dtype != np.int64:
-            return sel.astype(np.int8)
-        mask = np.zeros(n, np.int8)
-        mask[sel.astype(np.int64)] = 1
-        return mask
 
     def _cost(fname):  # edge-count proxy: cheap rows first within a sweep
         import re
@@ -110,29 +102,13 @@ def main(argv=None, max_sweeps: int = 3):
                 from distgcn_tpu.solvers.exact import mwis_milp
                 _, util, status = mwis_milp(inst.adj, inst.weights, timeout)
             elif cfg.solver == "auto":
-                # portfolio with incumbent sharing: short native B&B pass
-                # (closes easy rows, supplies the ILS incumbent), then
-                # cutting-plane MILP (`mwis_cut`) — whose best feasible
-                # point often beats the ILS one — then the B&B again with
-                # the remaining budget, warm-started from the better
-                # incumbent (mwis_exact_ws seeds it per subproblem)
-                from distgcn_tpu.solvers.exact import mwis_cut
-                t_bnb = min(timeout * 0.15, 30.0)
-                sel1, util, status = mwis_exact(inst.adj, inst.weights,
-                                                t_bnb)
-                best_sel = _to_mask(sel1, inst.weights.size)
-                if status != "Optimal":
-                    t_cut = (timeout - t_bnb) * 0.6
-                    sel2, util2, status = mwis_cut(
-                        inst.adj, inst.weights, t_cut, incumbent=util)
-                    if util2 > util:
-                        util, best_sel = util2, np.asarray(sel2, np.int8)
-                if status != "Optimal":
-                    spent = time.time() - t0
-                    sel3, util3, status = mwis_exact(
-                        inst.adj, inst.weights, max(timeout - spent, 1.0),
-                        init_sel=best_sel)
-                    util = max(util, util3)
+                # full proving portfolio: short native B&B -> root
+                # cutting-plane LP (dual certificate, may prove outright)
+                # -> reduced-cost fixing -> dual-bounded B&B (exact.py
+                # `mwis_prove` docstring for the full pipeline)
+                from distgcn_tpu.solvers.exact import mwis_prove
+                _, util, status = mwis_prove(inst.adj, inst.weights,
+                                             timeout, verbose=True)
             else:
                 from distgcn_tpu.solvers.relax import mp_greedy
                 _, util = mp_greedy(inst.adj, inst.weights)

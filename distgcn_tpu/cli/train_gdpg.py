@@ -120,13 +120,13 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
     import jax
     from distgcn_tpu.agents import DQNAgent
     from distgcn_tpu.core.graph import GraphBatch
-    from distgcn_tpu.pipeline import make_solve_pipeline, BatchedEvaluator
+    from distgcn_tpu.pipeline import make_train_pipeline, BatchedEvaluator
 
     model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     if agent is None:
         agent = DQNAgent(cfg, model_family="gcn2_dqn")
     agent.load(model_origin)
-    pipe = make_solve_pipeline(agent.model, cfg, agent.feature_mode)
+    pipe = make_train_pipeline(agent.model, cfg, agent.feature_mode)
     ev = BatchedEvaluator(agent, batch_size=max(ns.device_batch, 32))
 
     from distgcn_tpu.data.matio import load_dataset_cached
@@ -161,21 +161,18 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
             n_max = max(a.shape[0] for a in batch_adjs)
             pad = -(-n_max // cfg.pad_to) * cfg.pad_to
             gb = GraphBatch.from_scipy(batch_adjs, batch_wts, pad_to=pad)
-            # one launch: GCN forward scores + LGS solve + greedy baseline
-            feats_fn = pipe
-            sel, util, gutil = feats_fn(agent.params, gb.adj, gb.wts, gb.mask)
+            # one launch: GCN forward scores (with the reference's
+            # epsilon-greedy value exploration, mwis_gdpg_call.py:696-705)
+            # + LGS solve + greedy baseline + the act_vals to memorize
+            rand = rng.uniform(0, 1, size=gb.wts.shape).astype(np.float32)
+            explore = (rng.uniform(size=len(idx)) <= agent.epsilon)
+            explore = np.pad(explore, (0, gb.wts.shape[0] - len(idx)))
+            sel, util, gutil, acts = pipe(agent.params, gb.adj, gb.wts,
+                                          gb.mask, rand, explore)
             if epoch == 0 and start == 0:
                 print(f"first batch solved (pad {pad}) "
                       f"{time.time() - newtime:.1f}s after epoch start",
                       flush=True)
-            # act_vals needed for targets: recompute scores on host side of
-            # the same forward (cheap second launch, still batched)
-            from distgcn_tpu.agents import build_state_arrays
-            features, supports = build_state_arrays(
-                gb.adj, gb.wts, gb.mask, cfg.feature_size, cfg.max_degree,
-                cfg.predict, agent.feature_mode)
-            acts = agent._forward_fn(agent.params, features, supports,
-                                     gb.mask)
             sel_h = np.asarray(sel)
             util_h = np.asarray(util)
             gutil_h = np.asarray(gutil)

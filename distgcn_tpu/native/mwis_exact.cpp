@@ -21,6 +21,8 @@
 // Build: g++ -O3 -march=native -shared -fPIC mwis_exact.cpp -o libdistgcn_native.so
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -134,14 +136,70 @@ struct Solver {
 
     Solver(const BitGraph& g_, const double* w_, double limit_sec)
         : g(g_), w(w_), words(g_.words), timed_out(false), nodes_visited(0) {
-        deadline = Clock::now() + std::chrono::duration_cast<Clock::duration>(
+        t_start = Clock::now();
+        deadline = t_start + std::chrono::duration_cast<Clock::duration>(
             std::chrono::duration<double>(limit_sec));
+        if (const char* e = std::getenv("DISTGCN_BNB_LOG"))
+            log_improve = atoi(e) != 0;
+    }
+
+    inline void note_best(double v, const char* tag) const {
+        if (log_improve)
+            fprintf(stderr, "[bnb] t=%.2fs %s best=%.6f\n",
+                    std::chrono::duration<double>(Clock::now() - t_start)
+                        .count(), tag, v);
     }
 
     // optional externally-supplied incumbent (0/1 per vertex) — e.g. the
     // best feasible point another portfolio arm (mwis_cut) found; its
     // restriction to any subproblem P is a valid lower bound
     std::vector<int8_t> init;
+
+    // Optional dual-bound constraint pool from the root cutting-plane LP
+    // (clique rows + odd-cycle rows + singleton repairs). Each constraint j
+    // is a vertex set C_j (bitset), a dual weight y_j > 0 and an integer
+    // capacity rhs_j, with the dual-feasibility invariant (enforced by the
+    // Python side, solvers/exact.mwis_root_duals):
+    //     sum_{j: v in C_j} y_j >= w_v   for every vertex v.
+    // Then for any IS S inside the live set P:
+    //     w(S) <= sum_j y_j |S ∩ C_j| <= sum_j y_j min(rhs_j, |C_j ∩ P|),
+    // a subproblem bound that inherits the root LP's tightness (constraints
+    // are static; only the |C_j ∩ P| popcounts change per node).
+    std::vector<uint64_t> con_bits;   // n_cons x words
+    std::vector<double> con_y, con_rhs;
+    int n_cons = 0;
+    // incumbent-improvement log + phase profile (DISTGCN_BNB_LOG=1)
+    bool log_improve = false;
+    Clock::time_point t_start;
+    mutable double t_reduce = 0, t_split = 0, t_match = 0, t_dual = 0,
+                   t_nt = 0;
+    mutable long long c_node = 0, c_prune_dual = 0, c_prune_split = 0,
+                      c_prune_match = 0;
+
+    void print_profile() const {
+        if (!log_improve) return;
+        fprintf(stderr,
+                "[bnb] profile: nodes=%lld reduce=%.1fs split=%.1fs(%lld) "
+                "match=%.1fs(%lld) dual=%.1fs(%lld) nt=%.1fs\n",
+                nodes_visited, t_reduce, t_split, c_prune_split,
+                t_match, c_prune_match, t_dual, c_prune_dual, t_nt);
+    }
+
+    // UB(P) from the static dual pool; bails out early (returning +inf)
+    // once the partial sum already exceeds `stop` (no prune possible).
+    double dual_ub(const uint64_t* P, double stop) const {
+        double s = 0.0;
+        const uint64_t* cb = con_bits.data();
+        for (int j = 0; j < n_cons; ++j, cb += words) {
+            int cnt = popcount_and(cb, P, words);
+            if (cnt) {
+                double cap = con_rhs[j];
+                s += con_y[j] * (cnt < cap ? (double)cnt : cap);
+                if (s > stop) return 1e300;
+            }
+        }
+        return s;
+    }
 
     inline bool in(const uint64_t* P, int v) const {
         return P[v >> 6] & (1ULL << (v & 63));
@@ -354,46 +412,105 @@ struct Solver {
         double curval = best;
         std::vector<uint64_t> selmask(words);
         int stall = 0;
+        long long iters = 0;
+        // weighted sampling table (prob ∝ w²): heavy vertices are likelier
+        // members of better optima, so force-inserting them escapes the
+        // light-vertex plateaus uniform sampling cannot leave
+        std::vector<double> cumw2(cand0.size());
+        double acc2 = 0.0;
+        for (size_t i = 0; i < cand0.size(); ++i) {
+            acc2 += w[cand0[i]] * w[cand0[i]];
+            cumw2[i] = acc2;
+        }
+        auto sample_weighted = [&]() {
+            double r = (double)(rnd_u32()) / 4294967296.0 * acc2;
+            size_t lo = std::lower_bound(cumw2.begin(), cumw2.end(), r)
+                        - cumw2.begin();
+            return cand0[std::min(lo, cand0.size() - 1)];
+        };
         while (Clock::now() < end && !timed_out) {
-            // perturb: force-insert k random vertices
+            ++iters;
             std::fill(selmask.begin(), selmask.end(), 0);
             for (int v : cur) selmask[v >> 6] |= (1ULL << (v & 63));
-            int k = 1 + (int)(rnd_u32() % (stall > 20 ? 3u : 1u));
             std::vector<int> sel = cur;
             double val = curval;
-            for (int t = 0; t < k; ++t) {
-                int v = cand0[rnd_u32() % cand0.size()];
-                if (selmask[v >> 6] & (1ULL << (v & 63))) continue;
-                // evict selected neighbors of v
-                const uint64_t* rv = g.row(v);
+            if (stall >= 25 && stall % 25 == 0 && !sel.empty()) {
+                // ball destroy: drop all selected within distance 2 of a
+                // random member, rebuild with noisy greedy — the large-move
+                // escape for plateaus the force-insert kicks cannot leave
+                int c = sel[rnd_u32() % sel.size()];
+                std::vector<uint64_t> ball(g.row(c), g.row(c) + words);
+                ball[c >> 6] |= (1ULL << (c & 63));
+                std::vector<uint64_t> ball2 = ball;
+                for_each(ball.data(), [&](int u) {
+                    const uint64_t* ru = g.row(u);
+                    for (int wi = 0; wi < words; ++wi) ball2[wi] |= ru[wi];
+                });
                 std::vector<int> keep;
-                keep.reserve(sel.size() + 1);
                 for (int u : sel) {
-                    if (rv[u >> 6] & (1ULL << (u & 63))) {
+                    if (ball2[u >> 6] & (1ULL << (u & 63))) {
                         val -= w[u];
                         selmask[u >> 6] &= ~(1ULL << (u & 63));
                     } else keep.push_back(u);
                 }
                 sel.swap(keep);
-                sel.push_back(v);
-                selmask[v >> 6] |= (1ULL << (v & 63));
-                val += w[v];
+            } else {
+                // force-insert k vertices: weighted draws half the time
+                int k = 1 + (int)(rnd_u32() % (stall > 20 ? 3u : 1u));
+                for (int t = 0; t < k; ++t) {
+                    int v = (rnd_u32() & 1) ? sample_weighted()
+                                            : cand0[rnd_u32() % cand0.size()];
+                    if (selmask[v >> 6] & (1ULL << (v & 63))) continue;
+                    // evict selected neighbors of v
+                    const uint64_t* rv = g.row(v);
+                    std::vector<int> keep;
+                    keep.reserve(sel.size() + 1);
+                    for (int u : sel) {
+                        if (rv[u >> 6] & (1ULL << (u & 63))) {
+                            val -= w[u];
+                            selmask[u >> 6] &= ~(1ULL << (u & 63));
+                        } else keep.push_back(u);
+                    }
+                    sel.swap(keep);
+                    sel.push_back(v);
+                    selmask[v >> 6] |= (1ULL << (v & 63));
+                    val += w[v];
+                }
             }
-            // repair: greedy over remaining candidates not blocked by sel
+            // repair: greedy over remaining candidates not blocked by sel,
+            // heaviest-first normally, weight-noised while stalled
             std::vector<uint64_t> blocked(words, 0);
             for (int u : sel) {
                 const uint64_t* ru = g.row(u);
                 for (int wi = 0; wi < words; ++wi) blocked[wi] |= ru[wi];
                 blocked[u >> 6] |= (1ULL << (u & 63));
             }
-            for (int u : cand0) {
-                if (blocked[u >> 6] & (1ULL << (u & 63))) continue;
-                if (!in(P, u)) continue;
-                sel.push_back(u);
-                val += w[u];
-                const uint64_t* ru = g.row(u);
-                for (int wi = 0; wi < words; ++wi) blocked[wi] |= ru[wi];
-                blocked[u >> 6] |= (1ULL << (u & 63));
+            auto insert_all = [&](const std::vector<int>& order) {
+                for (int u : order) {
+                    if (blocked[u >> 6] & (1ULL << (u & 63))) continue;
+                    if (!in(P, u)) continue;
+                    sel.push_back(u);
+                    val += w[u];
+                    const uint64_t* ru = g.row(u);
+                    for (int wi = 0; wi < words; ++wi) blocked[wi] |= ru[wi];
+                    blocked[u >> 6] |= (1ULL << (u & 63));
+                }
+            };
+            if (stall >= 25) {
+                std::vector<std::pair<double, int>> noisy;
+                noisy.reserve(cand0.size());
+                for (int u : cand0) {
+                    double amp = 0.3 * ((double)rnd_u32() / 4294967296.0
+                                        - 0.5);
+                    noisy.push_back({-w[u] * (1.0 + amp), u});
+                }
+                std::sort(noisy.begin(), noisy.end());
+                std::vector<int> order;
+                order.reserve(noisy.size());
+                for (auto& pr : noisy) order.push_back(pr.second);
+                insert_all(order);
+            } else {
+                insert_all(cand0);
             }
             val = improve_12(P, sel, val);
             if (val > curval - 1e-12) {   // accept equal-or-better (plateau)
@@ -403,11 +520,19 @@ struct Solver {
                     best = val;
                     best_sel = cur;
                     stall = 0;
+                    note_best(best, "ils");
                 } else ++stall;
             } else ++stall;
-            if (stall > 60) {  // restart from best
-                cur = best_sel;
-                curval = best;
+            if (stall > 150) {  // alternate: restart from best / fresh GRASP
+                if ((iters / 150) & 1) {
+                    std::vector<int> fresh;
+                    double fval = grasp(P, fresh, 6);
+                    cur.swap(fresh);
+                    curval = fval;
+                } else {
+                    cur = best_sel;
+                    curval = best;
+                }
                 stall = 0;
             }
         }
@@ -721,11 +846,20 @@ struct Solver {
         int live = 0;
         for (int wi = 0; wi < words; ++wi)
             live += __builtin_popcountll(P[wi]);
-        // ILS budget: worth it only on cores big enough to have a gap
+        // ILS budget: worth it only on cores big enough to have a gap.
+        // On hard cores (n300 ER tails) the B&B alone improves the
+        // incumbent far slower than the ILS does, so large cores get a
+        // double-digit share of the budget (overridable via env).
+        double frac = 0.05, cap = 3.0;
+        if (live >= 150) { frac = 0.12; cap = 40.0; }
+        else if (live >= 80) { frac = 0.08; cap = 10.0; }
+        if (const char* e = std::getenv("DISTGCN_ILS_FRAC")) frac = atof(e);
+        if (const char* e = std::getenv("DISTGCN_ILS_CAP")) cap = atof(e);
         double budget = (live >= 40)
-            ? std::min(std::max(0.05 * remain, 0.0), 3.0) : 0.0;
+            ? std::min(std::max(frac * remain, 0.0), cap) : 0.0;
         double best = (budget > 0.01 ? ils(P.data(), best_sel, budget)
                                      : grasp(P.data(), best_sel)) - 1e-12;
+        note_best(best, "start");
         if (!init.empty()) {
             // restriction of the external incumbent to this component,
             // sharpened by the 2-improvement, may beat the ILS start
@@ -757,6 +891,14 @@ struct Solver {
         }
         size_t undo_cur = cur.size();
         auto undo = [&]() { cur.resize(undo_cur); };
+        Clock::time_point ph0;
+        if (log_improve) ph0 = Clock::now();
+        auto lap = [&](double& acc) {
+            if (!log_improve) return;
+            auto now = Clock::now();
+            acc += std::chrono::duration<double>(now - ph0).count();
+            ph0 = now;
+        };
         // cheap in-node reduction: isolated takes + low-degree
         // clique-neighborhood takes (popcount-only tests)
         std::vector<uint64_t> nbrP(words);
@@ -803,26 +945,55 @@ struct Solver {
             }
         }
         if (pick < 0) {
-            if (curval > best) { best = curval; best_sel = cur; }
+            if (curval > best) {
+                best = curval;
+                best_sel = cur;
+                note_best(best, "bnb");
+            }
             undo();
             return;
         }
-        // prune with the cheaper-to-tighter cascade: clique covers are tight
-        // on dense cores, the matching bound on sparse ones — take both.
-        if (curval + split_cover_ub(P.data()) <= best + 1e-12) {
-            undo();
-            return;
+        lap(t_reduce);
+        // prune with the cheaper-to-tighter cascade: the static root-LP dual
+        // bound (tight near the root, where pruning pays most), then greedy
+        // clique covers (tight on dense cores), then the matching bound
+        // (tight on sparse ones) — take all three.
+        if (n_cons) {
+            bool cut = curval + dual_ub(P.data(), best - curval)
+                       <= best + 1e-12;
+            lap(t_dual);
+            if (cut) {
+                ++c_prune_dual;
+                undo();
+                return;
+            }
         }
-        if (curval + bound(P.data()) <= best + 1e-12) {
-            undo();
-            return;
+        {
+            bool cut = curval + split_cover_ub(P.data()) <= best + 1e-12;
+            lap(t_split);
+            if (cut) {
+                ++c_prune_split;
+                undo();
+                return;
+            }
+        }
+        {
+            bool cut = curval + bound(P.data()) <= best + 1e-12;
+            lap(t_match);
+            if (cut) {
+                ++c_prune_match;
+                undo();
+                return;
+            }
         }
         // periodic LP persistency: strong but costly -> shallow depths only
         if (depth % 4 == 0) {
+            if (log_improve) ph0 = Clock::now();
             double core_half = 0.0;
             std::vector<uint64_t> Pn(P);
             size_t before = cur.size();
             double taken = nt_reduce(Pn, cur, &core_half);
+            lap(t_nt);
             if (curval + taken + core_half <= best + 1e-12) {
                 undo();
                 return;
@@ -848,7 +1019,11 @@ struct Solver {
                     }
                 }
                 if (pick < 0) {
-                    if (curval > best) { best = curval; best_sel = cur; }
+                    if (curval > best) {
+                        best = curval;
+                        best_sel = cur;
+                        note_best(best, "bnb-nt");
+                    }
                     undo();
                     return;
                 }
@@ -931,6 +1106,44 @@ int mwis_exact(const int32_t* indptr, const int32_t* indices,
                int8_t* out_sel, double* out_val) {
     return mwis_exact_ws(indptr, indices, w, n, timeout_sec, nullptr,
                          out_sel, out_val);
+}
+
+// Exact MWIS with a static dual-bound constraint pool from the root
+// cutting-plane LP (see Solver::dual_ub). Constraints in CSR-like form:
+// con_ptr[n_cons+1] offsets into con_idx (vertex ids), duals con_y[j] > 0,
+// capacities con_rhs[j]. The caller (solvers/exact.mwis_root_duals)
+// guarantees dual feasibility sum_{j: v in C_j} y_j >= w_v for all v.
+int mwis_exact_dual(const int32_t* indptr, const int32_t* indices,
+                    const double* w, int n, double timeout_sec,
+                    const int8_t* init_sel,
+                    const int32_t* con_ptr, const int32_t* con_idx,
+                    const double* con_y, const double* con_rhs, int n_cons,
+                    int8_t* out_sel, double* out_val) {
+    BitGraph g(n);
+    for (int v = 0; v < n; ++v)
+        for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+            if (indices[e] > v) g.add_edge(v, indices[e]);
+    Solver s(g, w, timeout_sec);
+    if (init_sel) s.init.assign(init_sel, init_sel + n);
+    if (n_cons > 0) {
+        s.n_cons = n_cons;
+        s.con_bits.assign((size_t)n_cons * g.words, 0);
+        s.con_y.assign(con_y, con_y + n_cons);
+        s.con_rhs.assign(con_rhs, con_rhs + n_cons);
+        for (int j = 0; j < n_cons; ++j) {
+            uint64_t* cb = s.con_bits.data() + (size_t)j * g.words;
+            for (int32_t k = con_ptr[j]; k < con_ptr[j + 1]; ++k)
+                cb[con_idx[k] >> 6] |= (1ULL << (con_idx[k] & 63));
+        }
+    }
+    std::vector<uint64_t> P(g.words, 0);
+    for (int v = 0; v < n; ++v) P[v >> 6] |= (1ULL << (v & 63));
+    std::vector<int> chosen;
+    double val = s.solve(std::move(P), chosen);
+    std::memset(out_sel, 0, n);
+    for (int v : chosen) out_sel[v] = 1;
+    *out_val = val;
+    return s.timed_out ? 1 : 0;
 }
 
 // Centralized greedy (heuristics.py:13-35 semantics, stable tie by id).

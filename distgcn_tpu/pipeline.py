@@ -62,6 +62,47 @@ def make_solve_pipeline(model, flags: Config, feature_mode: str = "gdpg",
     return solve
 
 
+def make_train_pipeline(model, flags: Config, feature_mode: str = "gdpg"):
+    """Training variant of `make_solve_pipeline` with the reference's
+    epsilon-greedy VALUE exploration (mwis_gdpg_call.py:696-705: with
+    probability epsilon the per-node scores are replaced by U(0,1) draws
+    before the LGS; the memorized act_vals are those random draws).
+
+    Returns jitted solve(params, adj, wts, mask, rand, explore) ->
+    (sel [B,N] int8, util [B], greedy-baseline util [B], acts [B,N,H])
+    where rand [B,N] are uniform draws, explore [B] bool selects the
+    graphs that explore this step, and acts is the value tensor actually
+    used (model outputs, with head 0 overwritten by rand on explored
+    graphs) — exactly what the reference memorizes for replay targets.
+    """
+
+    bf16 = getattr(flags, "compute_dtype", "float32") == "bfloat16"
+
+    @jax.jit
+    def solve(params, adj, wts, mask, rand, explore):
+        features, supports = build_state_arrays(
+            adj, wts, mask, flags.feature_size, flags.max_degree,
+            flags.predict, feature_mode)
+        if bf16:
+            features = features.astype(jnp.bfloat16)
+            supports = supports.astype(jnp.bfloat16)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params)
+        out = model.apply({"params": params}, features, supports)
+        out = out.astype(wts.dtype)
+        ex = explore[:, None].astype(wts.dtype)
+        act0 = out[..., 0] * mask
+        act0 = ex * rand * mask + (1.0 - ex) * act0
+        acts = out.at[..., 0].set(act0)
+        gcn_wts = act0 * wts if flags.predict == "mwis" else act0
+        sel, _, _ = batched_lgs(adj, gcn_wts, mask)
+        util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
+        gsel, gutil, _ = batched_lgs(adj, wts, mask)
+        return sel, util, gutil, acts
+
+    return solve
+
+
 def make_resident_pipeline(model, flags: Config, feature_mode: str = "gdpg"):
     """Returns jitted solve(params, supports, adjb, wts, mask) ->
     (sel [B,N] int8, util [B]) for a PINNED graph: the support stack

@@ -57,6 +57,16 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ctypes.c_double, ctypes.POINTER(ctypes.c_int8),
                 ctypes.POINTER(ctypes.c_int8),
                 ctypes.POINTER(ctypes.c_double)]
+            lib.mwis_exact_dual.restype = ctypes.c_int
+            lib.mwis_exact_dual.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_double)]
             lib.greedy_mwis.restype = ctypes.c_double
             lib.greedy_mwis.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -337,6 +347,247 @@ def _separate_odd_cycles(adj_csr, x, n_cuts: int = 300):
     return cuts
 
 
+def _base_clique_rows(coo, n):
+    """Greedy edge clique cover rows (strictly dominates raw edge rows;
+    triangles alone remove most of the integrality slack on p >= 0.06 ER).
+    Returns (rows_i, rhs): lists of [m, L] index blocks and rhs vectors."""
+    rows_i, rhs = [], []
+    if n <= 4096:
+        dense = np.zeros((n, n), dtype=bool)
+        dense[coo.row, coo.col] = True
+        dense |= dense.T
+        covered = np.zeros_like(dense)
+        bylen = {}
+        for u, v in zip(coo.row, coo.col):
+            if covered[u, v]:
+                continue
+            mem = [u, v]
+            common = dense[u] & dense[v]
+            while common.any():
+                x = int(np.argmax(common))
+                mem.append(x)
+                common &= dense[x]
+            mi = np.asarray(mem)
+            covered[np.ix_(mi, mi)] = True
+            bylen.setdefault(len(mem), []).append(mem)
+        for L, cs in bylen.items():
+            rows_i.append(np.asarray(cs, dtype=np.int64))
+            rhs.append(np.ones(len(cs)))
+    else:
+        rows_i = [np.column_stack([coo.row, coo.col])]
+        rhs = [np.ones(coo.nnz)]
+    return rows_i, rhs
+
+
+def mwis_root_duals(adj, wts, time_budget: float = 60.0,
+                    max_sep_rounds: int = 40):
+    """Root cutting-plane LP (clique rows + odd-cycle cuts) solved to
+    optimality, returning its DUAL certificate as a static bound pool for
+    the native B&B (`mwis_exact_dual`).
+
+    Produces (con_ptr, con_idx, y, rhs, ub_root, rc) where constraint j is
+    the vertex set con_idx[con_ptr[j]:con_ptr[j+1]] with dual weight y[j]>0
+    and capacity rhs[j], satisfying dual feasibility
+        cover(v) := sum_{j: v in C_j} y_j >= w_v        for every v
+    (LP duals, with any tolerance-level slack repaired by singleton rows).
+    Consequences used downstream:
+      - for any IS S inside a live set P:
+            w(S) <= sum_j y_j * min(rhs_j, |C_j ∩ P|)      (node bound)
+      - ub_root = sum_j y_j * rhs_j is a proven global upper bound;
+      - rc[v] = cover(v) - w_v >= 0 is a reduced cost: any IS containing v
+        has value <= ub_root - rc[v], so v can be fixed out once an
+        incumbent beats that (reduced-cost fixing in `mwis_prove`).
+    """
+    from scipy.optimize import linprog
+    import time as _time
+
+    a = _csr(adj)
+    w = np.asarray(wts, dtype=np.float64).flatten()
+    n = w.size
+    coo = sp.triu(a, 1).tocoo()
+    t0 = _time.time()
+    rows_i, rhs = _base_clique_rows(coo, n)
+
+    def _amat():
+        ri, ci = [], []
+        off = 0
+        for blk in rows_i:
+            m, k = blk.shape
+            ri.append(np.repeat(np.arange(off, off + m), k))
+            ci.append(blk.ravel())
+            off += m
+        return sp.coo_matrix(
+            (np.ones(sum(len(r) for r in ri)),
+             (np.concatenate(ri), np.concatenate(ci))), shape=(off, n))
+
+    res = None
+    ub_prev = np.inf
+    n_blocks_solved = len(rows_i)
+    for _ in range(max_sep_rounds):
+        res = linprog(-w, A_ub=_amat(), b_ub=np.concatenate(rhs),
+                      bounds=(0, 1), method="highs")
+        if res.x is None:
+            return None
+        n_blocks_solved = len(rows_i)
+        ub = -res.fun
+        if _time.time() - t0 > time_budget:
+            break
+        cuts = _separate_odd_cycles(a, res.x)
+        if not cuts:
+            break
+        bylen = {}
+        for c in cuts:
+            bylen.setdefault(len(c), []).append(c)
+        for L, cs in bylen.items():
+            rows_i.append(np.asarray(cs, dtype=np.int64))
+            rhs.append(np.full(len(cs), (L - 1) / 2.0))
+        if ub > ub_prev - 1e-5:   # separation stalled
+            ub_prev = min(ub, ub_prev)
+            res2 = linprog(-w, A_ub=_amat(), b_ub=np.concatenate(rhs),
+                           bounds=(0, 1), method="highs")
+            if res2.x is not None:
+                res = res2
+                n_blocks_solved = len(rows_i)
+            break
+        ub_prev = min(ub, ub_prev)
+    # the dual certificate must match the rows `res` actually solved
+    rows_i = rows_i[:n_blocks_solved]
+    rhs = rhs[:n_blocks_solved]
+
+    # ---- assemble the dual pool from the final LP
+    y_rows = np.maximum(-np.asarray(res.ineqlin.marginals), 0.0)
+    y_upper = np.maximum(-np.asarray(res.upper.marginals), 0.0)
+    cons_idx, cons_y, cons_rhs = [], [], []
+    off = 0
+    all_rhs = np.concatenate(rhs)
+    for blk in rows_i:
+        m, k = blk.shape
+        for i in range(m):
+            yj = y_rows[off + i]
+            if yj > 1e-9:
+                cons_idx.append(blk[i])
+                cons_y.append(yj)
+                cons_rhs.append(all_rhs[off + i])
+        off += m
+    # x_v <= 1 bound duals enter as singleton rows
+    for v in np.nonzero(y_upper > 1e-9)[0]:
+        cons_idx.append(np.asarray([v]))
+        cons_y.append(float(y_upper[v]))
+        cons_rhs.append(1.0)
+    # repair tolerance-level dual infeasibility: cover(v) >= w_v exactly
+    cover = np.zeros(n)
+    for idx, yj in zip(cons_idx, cons_y):
+        cover[idx] += yj
+    slack = cover - w
+    for v in np.nonzero(slack < 0)[0]:
+        pad = -slack[v] + 1e-12
+        cons_idx.append(np.asarray([v]))
+        cons_y.append(float(pad))
+        cons_rhs.append(1.0)
+        cover[v] += pad
+    rc = cover - w
+    y = np.asarray(cons_y)
+    rhs_v = np.asarray(cons_rhs)
+    ub_root = float(np.dot(y, rhs_v))
+    con_ptr = np.zeros(len(cons_idx) + 1, np.int32)
+    con_ptr[1:] = np.cumsum([len(c) for c in cons_idx])
+    con_idx = (np.concatenate(cons_idx).astype(np.int32)
+               if cons_idx else np.zeros(0, np.int32))
+    return (con_ptr, con_idx, y, rhs_v, ub_root, rc)
+
+
+def mwis_exact_dual(adj, wts, timeout: float, cons, init_sel=None
+                    ) -> Tuple[np.ndarray, float, str]:
+    """Native B&B with the static root-LP dual bound pool (`mwis_root_duals`
+    output). Falls back to plain `mwis_exact` when the native lib is absent."""
+    lib = _load_native()
+    if lib is None or cons is None:
+        return mwis_exact(adj, wts, timeout, init_sel=init_sel)
+    a = _csr(adj)
+    w = np.ascontiguousarray(np.asarray(wts, dtype=np.float64).flatten())
+    n = w.size
+    con_ptr, con_idx, y, rhs_v, _, _ = cons
+    con_ptr = np.ascontiguousarray(con_ptr, np.int32)
+    con_idx = np.ascontiguousarray(con_idx, np.int32)
+    y = np.ascontiguousarray(y, np.float64)
+    rhs_v = np.ascontiguousarray(rhs_v, np.float64)
+    _, _, p_indptr, p_indices = _csr_ptrs(a)
+    sel = np.zeros(n, dtype=np.int8)
+    val = ctypes.c_double(0.0)
+    if init_sel is not None:
+        init = np.ascontiguousarray(np.asarray(init_sel, np.int8).flatten())
+        p_init = init.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    else:
+        p_init = None
+    status = lib.mwis_exact_dual(
+        p_indptr, p_indices,
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        ctypes.c_double(timeout), p_init,
+        con_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        con_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rhs_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(y),
+        sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.byref(val))
+    solu = np.nonzero(sel == 1)[0]
+    return solu, float(val.value), "Optimal" if status == 0 else "Timeout"
+
+
+def mwis_prove(adj, wts, timeout: float = 300.0,
+               verbose: bool = False) -> Tuple[np.ndarray, float, str]:
+    """Full proving portfolio — the `--solver=auto` path of
+    `cli/benchmark_solver` (reference protocol: mwis_mlp_test.py:79-152,
+    with Gurobi replaced by native machinery):
+
+      1. short native B&B pass (closes easy instances; its ILS supplies a
+         strong incumbent either way);
+      2. root cutting-plane LP (`mwis_root_duals`) — if its proven upper
+         bound already meets the incumbent, optimality is certified with no
+         tree search at all;
+      3. reduced-cost fixing: drop every vertex whose LP reduced cost
+         pushes any solution containing it below the incumbent;
+      4. native B&B over the (often much smaller) residue, warm-started,
+         pruning with the static dual pool at every node.
+    """
+    import time as _time
+
+    a = _csr(adj)
+    w = np.asarray(wts, dtype=np.float64).flatten()
+    n = w.size
+    t0 = _time.time()
+    t_bnb = min(timeout * 0.12, 30.0)
+    sel1, util, status = mwis_exact(a, w, t_bnb)
+    if status == "Optimal":
+        return sel1, util, status
+    best_sel = np.zeros(n, np.int8)
+    best_sel[np.asarray(sel1, np.int64)] = 1
+    cons = mwis_root_duals(a, w, time_budget=min(timeout * 0.2, 120.0))
+    if cons is None:
+        remain = max(timeout - (_time.time() - t0), 1.0)
+        return mwis_exact(a, w, remain, init_sel=best_sel)
+    ub_root = cons[4]
+    if verbose:
+        print(f"[prove] incumbent {util:.6f} ub_root {ub_root:.6f} "
+              f"cons {len(cons[2])} t={_time.time() - t0:.1f}s", flush=True)
+    if ub_root <= util + 1e-6:
+        return np.nonzero(best_sel)[0], util, "Optimal"
+    # reduced-cost fixing (conservative margin): any IS containing v is
+    # bounded by ub_root - rc[v]; below the incumbent it cannot matter.
+    rc = cons[5]
+    w_fix = w.copy()
+    fixed = (ub_root - rc) < (util - 1e-7)
+    w_fix[fixed] = -1.0
+    if verbose and fixed.any():
+        print(f"[prove] rc-fixed {int(fixed.sum())}/{n} vertices", flush=True)
+    remain = max(timeout - (_time.time() - t0), 1.0)
+    sel2, util2, status = mwis_exact_dual(a, w_fix, remain, cons,
+                                          init_sel=best_sel * (1 - fixed))
+    if util2 >= util:
+        return sel2, util2, status
+    return np.nonzero(best_sel)[0], util, status
+
+
 def mwis_cut(adj, wts, time_limit: float = 300.0,
              incumbent: float | None = None,
              max_sep_rounds: int = 40,
@@ -368,33 +619,7 @@ def mwis_cut(adj, wts, time_limit: float = 300.0,
         return sel, float(w[w > 0].sum()), "Optimal"
     import time as _time
     t0 = _time.time()
-    # base rows: greedy edge clique cover (strictly dominates raw edge rows;
-    # triangles alone remove most of the integrality slack on p >= 0.06 ER)
-    rows_i, rhs = [], []
-    if n <= 4096:
-        dense = np.zeros((n, n), dtype=bool)
-        dense[coo.row, coo.col] = True
-        dense |= dense.T
-        covered = np.zeros_like(dense)
-        bylen = {}
-        for u, v in zip(coo.row, coo.col):
-            if covered[u, v]:
-                continue
-            mem = [u, v]
-            common = dense[u] & dense[v]
-            while common.any():
-                x = int(np.argmax(common))
-                mem.append(x)
-                common &= dense[x]
-            mi = np.asarray(mem)
-            covered[np.ix_(mi, mi)] = True
-            bylen.setdefault(len(mem), []).append(mem)
-        for L, cs in bylen.items():
-            rows_i.append(np.asarray(cs, dtype=np.int64))
-            rhs.append(np.ones(len(cs)))
-    else:
-        rows_i = [np.column_stack([coo.row, coo.col])]
-        rhs = [np.ones(coo.nnz)]
+    rows_i, rhs = _base_clique_rows(coo, n)
 
     def _amat():
         ri, ci = [], []
