@@ -269,11 +269,10 @@ struct Solver {
 
     // greedy (stable (w,-id) order) on P; returns value, fills sel
     double greedy_in(const uint64_t* P, std::vector<int>& sel) const {
-        std::vector<int> cand;
+        static thread_local std::vector<int> cand;
+        cand.clear();
+        // id order == (w desc, id asc) order after the entry relabeling
         for_each(P, [&](int v) { cand.push_back(v); });
-        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
-            return w[a] > w[b] || (w[a] == w[b] && a < b);
-        });
         std::vector<uint64_t> blocked(words, 0);
         double val = 0.0;
         for (int v : cand) {
@@ -403,11 +402,9 @@ struct Solver {
             return (uint32_t)(rng >> 32);
         };
         std::vector<int> cand0;
+        // id order == weight order: repair already inserts heaviest-first
         for_each(P, [&](int v) { if (w[v] > 0) cand0.push_back(v); });
         if (cand0.empty()) return best;
-        std::sort(cand0.begin(), cand0.end(), [&](int a, int b) {
-            return w[a] > w[b];  // repair inserts heaviest-first
-        });
         std::vector<int> cur = best_sel;
         double curval = best;
         std::vector<uint64_t> selmask(words);
@@ -569,49 +566,56 @@ struct Solver {
     // bound and subtract it from all members. A feasible fractional clique
     // cover, so UB = sum of charges; much tighter than sum-of-clique-maxima
     // when weights vary (the classic WLMC/TSM-style bound).
-    double split_cover_ub(const uint64_t* P) const {
+    double split_cover_ub(const uint64_t* P, double stop = 1e300) const {
         static thread_local std::vector<double> r;
-        static thread_local std::vector<int> cand;
+        static thread_local std::vector<uint64_t> act, common;
+        static thread_local std::vector<int> members;
         r.assign(g.n, 0.0);
-        cand.clear();
+        act.assign(words, 0);
+        bool any = false;
         for_each(P, [&](int v) {
-            if (w[v] > 0) { r[v] = w[v]; cand.push_back(v); }
+            if (w[v] > 0) {
+                r[v] = w[v];
+                act[v >> 6] |= (1ULL << (v & 63));
+                any = true;
+            }
         });
-        if (cand.empty()) return 0.0;
-        // residual-descending order refreshed lazily: process in weight
-        // order; a vertex re-enters cliques until its residual hits zero
-        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
-            return w[a] > w[b];
-        });
+        if (!any) return 0.0;
+        common.resize(words);
         double ub = 0.0;
-        static thread_local std::vector<uint64_t> common;
-        common.assign(words, 0);
-        int live = (int)cand.size();
-        while (live > 0) {
-            // seed: first vertex (in weight order) with residual > 0
-            int seed = -1;
-            for (int v : cand)
-                if (r[v] > 1e-12) { seed = v; break; }
-            if (seed < 0) break;
+        int si = 0;  // forward-only seed word (act bits only ever clear)
+        for (;;) {
+            while (si < words && !act[si]) ++si;
+            if (si == words) break;
+            if (ub > stop) return 1e300;  // no prune possible: bail
+            // seed = heaviest residual-positive vertex (ids are in weight
+            // order after the entry relabeling)
+            int seed = si * 64 + __builtin_ctzll(act[si]);
             const uint64_t* rs = g.row(seed);
-            for (int wi = 0; wi < words; ++wi) common[wi] = rs[wi] & P[wi];
+            for (int wi = 0; wi < words; ++wi) common[wi] = rs[wi] & act[wi];
             double mn = r[seed];
-            static thread_local std::vector<int> members;
             members.clear();
             members.push_back(seed);
-            // extend: heaviest-residual vertices adjacent to all members
-            for (int v : cand) {
-                if (v == seed || r[v] <= 1e-12) continue;
-                if (!(common[v >> 6] & (1ULL << (v & 63)))) continue;
-                members.push_back(v);
-                mn = std::min(mn, r[v]);
-                const uint64_t* rv = g.row(v);
-                for (int wi = 0; wi < words; ++wi) common[wi] &= rv[wi];
+            // extend greedily by weight over common ∩ act, re-intersecting
+            // with each member's neighborhood as we go — O(degree) bit work
+            // per clique instead of a scan over every live candidate
+            for (int wi = 0; wi < words; ++wi) {
+                uint64_t word = common[wi];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    int v = wi * 64 + b;
+                    members.push_back(v);
+                    if (r[v] < mn) mn = r[v];
+                    const uint64_t* rv = g.row(v);
+                    for (int wj = wi; wj < words; ++wj) common[wj] &= rv[wj];
+                    word &= common[wi];
+                }
             }
             ub += mn;
             for (int v : members) {
                 r[v] -= mn;
-                if (r[v] <= 1e-12) --live;
+                if (r[v] <= 1e-12) act[v >> 6] &= ~(1ULL << (v & 63));
             }
         }
         return ub;
@@ -620,11 +624,10 @@ struct Solver {
     // Greedy weighted clique cover UB: iterate by weight desc, first-fit into
     // cliques; UB = sum of each clique's max weight. Tight on dense cores.
     double clique_cover_ub(const uint64_t* P) const {
-        std::vector<int> cand;
+        static thread_local std::vector<int> cand;
+        cand.clear();
+        // ids are weight-ordered after the entry relabeling: no sort
         for_each(P, [&](int v) { if (w[v] > 0) cand.push_back(v); });
-        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
-            return w[a] > w[b];
-        });
         // each clique tracked as the intersection of members' neighborhoods:
         // v can join clique c iff v is adjacent to all members <=> v in mask_c
         static thread_local std::vector<std::vector<uint64_t>> masks;
@@ -969,7 +972,8 @@ struct Solver {
             }
         }
         {
-            bool cut = curval + split_cover_ub(P.data()) <= best + 1e-12;
+            bool cut = curval + split_cover_ub(P.data(), best - curval)
+                       <= best + 1e-12;
             lap(t_split);
             if (cut) {
                 ++c_prune_split;
@@ -986,8 +990,13 @@ struct Solver {
                 return;
             }
         }
-        // periodic LP persistency: strong but costly -> shallow depths only
-        if (depth % 4 == 0) {
+        // periodic LP persistency: strong but costly -> shallow depths
+        // and big live cores only (profile: Dinic was 28% of node time
+        // with most of it spent re-reducing small subtrees)
+        int live_here = 0;
+        for (int wi = 0; wi < words; ++wi)
+            live_here += __builtin_popcountll(P[wi]);
+        if (depth % 16 == 0 && live_here >= 128) {
             if (log_improve) ph0 = Clock::now();
             double core_half = 0.0;
             std::vector<uint64_t> Pn(P);
@@ -1081,24 +1090,17 @@ extern "C" {
 // init_sel (may be NULL): 0/1 warm-start independent set; its restriction
 // to every subproblem seeds the incumbent (portfolio arms hand their best
 // feasible point back to the B&B this way).
+int mwis_exact_dual(const int32_t*, const int32_t*, const double*, int,
+                    double, const int8_t*, const int32_t*, const int32_t*,
+                    const double*, const double*, int, int8_t*, double*);
+
 int mwis_exact_ws(const int32_t* indptr, const int32_t* indices,
                   const double* w, int n, double timeout_sec,
                   const int8_t* init_sel,
                   int8_t* out_sel, double* out_val) {
-    BitGraph g(n);
-    for (int v = 0; v < n; ++v)
-        for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
-            if (indices[e] > v) g.add_edge(v, indices[e]);
-    Solver s(g, w, timeout_sec);
-    if (init_sel) s.init.assign(init_sel, init_sel + n);
-    std::vector<uint64_t> P(g.words, 0);
-    for (int v = 0; v < n; ++v) P[v >> 6] |= (1ULL << (v & 63));
-    std::vector<int> chosen;
-    double val = s.solve(std::move(P), chosen);
-    std::memset(out_sel, 0, n);
-    for (int v : chosen) out_sel[v] = 1;
-    *out_val = val;
-    return s.timed_out ? 1 : 0;
+    return mwis_exact_dual(indptr, indices, w, n, timeout_sec, init_sel,
+                           nullptr, nullptr, nullptr, nullptr, 0,
+                           out_sel, out_val);
 }
 
 int mwis_exact(const int32_t* indptr, const int32_t* indices,
@@ -1119,12 +1121,28 @@ int mwis_exact_dual(const int32_t* indptr, const int32_t* indices,
                     const int32_t* con_ptr, const int32_t* con_idx,
                     const double* con_y, const double* con_rhs, int n_cons,
                     int8_t* out_sel, double* out_val) {
+    // Relabel vertices by (w desc, id asc) so that inside the solver the
+    // id order IS the weight order: every weight-ordered scan (greedy,
+    // clique-cover bounds, ILS repair) becomes a plain bitset sweep.
+    std::vector<int> perm(n);   // perm[new] = old
+    for (int i = 0; i < n; ++i) perm[i] = i;
+    std::sort(perm.begin(), perm.end(), [&](int a, int b) {
+        return w[a] > w[b] || (w[a] == w[b] && a < b);
+    });
+    std::vector<int> invp(n);   // invp[old] = new
+    for (int i = 0; i < n; ++i) invp[perm[i]] = i;
+    std::vector<double> wp(n);
+    for (int i = 0; i < n; ++i) wp[i] = w[perm[i]];
     BitGraph g(n);
     for (int v = 0; v < n; ++v)
         for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
-            if (indices[e] > v) g.add_edge(v, indices[e]);
-    Solver s(g, w, timeout_sec);
-    if (init_sel) s.init.assign(init_sel, init_sel + n);
+            if (indices[e] > v) g.add_edge(invp[v], invp[indices[e]]);
+    Solver s(g, wp.data(), timeout_sec);
+    if (init_sel) {
+        s.init.assign(n, 0);
+        for (int v = 0; v < n; ++v)
+            if (init_sel[v]) s.init[invp[v]] = 1;
+    }
     if (n_cons > 0) {
         s.n_cons = n_cons;
         s.con_bits.assign((size_t)n_cons * g.words, 0);
@@ -1132,16 +1150,19 @@ int mwis_exact_dual(const int32_t* indptr, const int32_t* indices,
         s.con_rhs.assign(con_rhs, con_rhs + n_cons);
         for (int j = 0; j < n_cons; ++j) {
             uint64_t* cb = s.con_bits.data() + (size_t)j * g.words;
-            for (int32_t k = con_ptr[j]; k < con_ptr[j + 1]; ++k)
-                cb[con_idx[k] >> 6] |= (1ULL << (con_idx[k] & 63));
+            for (int32_t k = con_ptr[j]; k < con_ptr[j + 1]; ++k) {
+                int nv = invp[con_idx[k]];
+                cb[nv >> 6] |= (1ULL << (nv & 63));
+            }
         }
     }
     std::vector<uint64_t> P(g.words, 0);
     for (int v = 0; v < n; ++v) P[v >> 6] |= (1ULL << (v & 63));
     std::vector<int> chosen;
     double val = s.solve(std::move(P), chosen);
+    s.print_profile();
     std::memset(out_sel, 0, n);
-    for (int v : chosen) out_sel[v] = 1;
+    for (int v : chosen) out_sel[perm[v]] = 1;
     *out_val = val;
     return s.timed_out ? 1 : 0;
 }
