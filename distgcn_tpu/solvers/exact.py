@@ -562,7 +562,8 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
         return sel1, util, status
     best_sel = np.zeros(n, np.int8)
     best_sel[np.asarray(sel1, np.int64)] = 1
-    cons = mwis_root_duals(a, w, time_budget=min(timeout * 0.2, 120.0))
+    cons = mwis_root_duals(a, w, time_budget=min(timeout * 0.15, 60.0)) \
+        if timeout >= 120 else None
     if cons is None:
         remain = max(timeout - (_time.time() - t0), 1.0)
         return mwis_exact(a, w, remain, init_sel=best_sel)
@@ -572,6 +573,12 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
               f"cons {len(cons[2])} t={_time.time() - t0:.1f}s", flush=True)
     if ub_root <= util + 1e-6:
         return np.nonzero(best_sel)[0], util, "Optimal"
+    remain = max(timeout - (_time.time() - t0), 1.0)
+    if (ub_root - util) > 0.08 * max(util, 1e-9):
+        # profile-driven gate: with a root gap this large the static dual
+        # pool never prunes (measured 0 dual prunes on the ER tail) and
+        # rc-fixing removes nothing — skip the pool, keep the warm start
+        return mwis_exact(a, w, remain, init_sel=best_sel)
     # reduced-cost fixing (conservative margin): any IS containing v is
     # bounded by ub_root - rc[v]; below the incumbent it cannot matter.
     rc = cons[5]
@@ -580,7 +587,6 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
     w_fix[fixed] = -1.0
     if verbose and fixed.any():
         print(f"[prove] rc-fixed {int(fixed.sum())}/{n} vertices", flush=True)
-    remain = max(timeout - (_time.time() - t0), 1.0)
     sel2, util2, status = mwis_exact_dual(a, w_fix, remain, cons,
                                           init_sel=best_sel * (1 - fixed))
     if util2 >= util:
