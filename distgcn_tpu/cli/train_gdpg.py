@@ -35,6 +35,14 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
     extra.add_argument("--model_root", default="./model")
     extra.add_argument("--replay_every", type=int, default=200)
     extra.add_argument("--replay_batch", type=int, default=200)
+    extra.add_argument("--target_style", default="gdpg",
+                       choices=["gdpg", "dqn"],
+                       help="replay targets: gdpg = act_vals[sol]+=reward "
+                            "then batch-standardize (mwis_gdpg_call.py:740-"
+                            "757); dqn = bounded assignment act_vals[sol]="
+                            "reward (mwis_dqn_call.py:168-171) — the style "
+                            "that trained the reference's 20-layer zoo "
+                            "models, and the stable one at depth")
     extra.add_argument("--device_batch", type=int, default=0,
                        help=">0: TPU-native batched training — solve "
                             "device_batch graphs per launch instead of the "
@@ -125,6 +133,8 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
     model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     if agent is None:
         agent = DQNAgent(cfg, model_family="gcn2_dqn")
+    if getattr(ns, "target_style", "gdpg") != "gdpg":
+        agent.trainer.style = ns.target_style
     agent.load(model_origin)
     pipe = make_train_pipeline(agent.model, cfg, agent.feature_mode)
     ev = BatchedEvaluator(agent, batch_size=max(ns.device_batch, 32))

@@ -621,6 +621,69 @@ struct Solver {
         return ub;
     }
 
+    // Partial-cover branching set (WLMC-style, adapted to weighted IS
+    // with weight-splitting covers): build the same greedy split cover but
+    // stop charging once the accumulated bound reaches `limit`. Writing
+    // w_v = sum of v's clique charges + residual r_v exactly, any IS S has
+    //   w(S) = sum_j c_j |S∩C_j| + sum_{v∈S} r_v <= sum_j c_j + r(S∩R)
+    // with R = {r_v > 0}. So if the charges alone reach <= limit, every
+    // improving IS (w(S) > limit) must intersect R — branch |R| ways with
+    // accumulated exclusions instead of binary include/exclude.
+    // Returns true if the FULL cover already proves ub <= limit (prune);
+    // otherwise fills R (bitset) with the branching set.
+    bool split_cover_branchset(const uint64_t* P, double limit,
+                               std::vector<uint64_t>& R) const {
+        static thread_local std::vector<double> r;
+        static thread_local std::vector<uint64_t> act, common;
+        static thread_local std::vector<int> members;
+        r.assign(g.n, 0.0);
+        act.assign(words, 0);
+        bool any = false;
+        for_each(P, [&](int v) {
+            if (w[v] > 0) {
+                r[v] = w[v];
+                act[v >> 6] |= (1ULL << (v & 63));
+                any = true;
+            }
+        });
+        if (!any) return true;
+        common.resize(words);
+        double ub = 0.0;
+        int si = 0;
+        for (;;) {
+            while (si < words && !act[si]) ++si;
+            if (si == words) return ub <= limit + 1e-12;  // cover complete
+            if (ub >= limit - 1e-12) break;  // budget exhausted -> branch set
+            int seed = si * 64 + __builtin_ctzll(act[si]);
+            const uint64_t* rs = g.row(seed);
+            for (int wi = 0; wi < words; ++wi) common[wi] = rs[wi] & act[wi];
+            double mn = r[seed];
+            members.clear();
+            members.push_back(seed);
+            for (int wi = 0; wi < words; ++wi) {
+                uint64_t word = common[wi];
+                while (word) {
+                    int b = __builtin_ctzll(word);
+                    word &= word - 1;
+                    int v = wi * 64 + b;
+                    members.push_back(v);
+                    if (r[v] < mn) mn = r[v];
+                    const uint64_t* rv = g.row(v);
+                    for (int wj = wi; wj < words; ++wj) common[wj] &= rv[wj];
+                    word &= common[wi];
+                }
+            }
+            double c = std::min(mn, limit - ub);  // partial final charge ok
+            ub += c;
+            for (int v : members) {
+                r[v] -= c;
+                if (r[v] <= 1e-12) act[v >> 6] &= ~(1ULL << (v & 63));
+            }
+        }
+        R.assign(act.begin(), act.end());
+        return false;
+    }
+
     // Greedy weighted clique cover UB: iterate by weight desc, first-fit into
     // cliques; UB = sum of each clique's max weight. Tight on dense cores.
     double clique_cover_ub(const uint64_t* P) const {
@@ -971,9 +1034,9 @@ struct Solver {
                 return;
             }
         }
+        std::vector<uint64_t> bset;
         {
-            bool cut = curval + split_cover_ub(P.data(), best - curval)
-                       <= best + 1e-12;
+            bool cut = split_cover_branchset(P.data(), best - curval, bset);
             lap(t_split);
             if (cut) {
                 ++c_prune_split;
@@ -1011,6 +1074,12 @@ struct Solver {
                 // adopt the reduced problem (persistency is exact)
                 P.swap(Pn);
                 curval += taken;
+                // soundness: if NT fixed IN a vertex of the branching set,
+                // "improving solutions intersect R" holds trivially for all
+                // completions — R no longer constrains them; binary-branch.
+                for (size_t i = before; i < cur.size() && !bset.empty(); ++i)
+                    if (bset[cur[i] >> 6] & (1ULL << (cur[i] & 63)))
+                        bset.clear();
                 pick = -1;
                 pick_deg = -1;
                 for (int wi = 0; wi < words; ++wi) {
@@ -1058,6 +1127,42 @@ struct Solver {
                 undo();
                 return;
             }
+        }
+        // multi-branch on the partial-cover branching set when it is
+        // selective enough; otherwise classic binary max-degree branching.
+        // NT adoption above may have shrunk P since bset was computed —
+        // intersect to stay inside the live set (still a valid cover of
+        // every improving solution: removing vertices only shrinks S).
+        int bcnt = 0;
+        if (!bset.empty())
+            for (int wi = 0; wi < words; ++wi) {
+                bset[wi] &= P[wi];
+                bcnt += __builtin_popcountll(bset[wi]);
+            }
+        int live_now = 0;
+        for (int wi = 0; wi < words; ++wi)
+            live_now += __builtin_popcountll(P[wi]);
+        if (bcnt > 0 && 2 * bcnt <= live_now) {
+            static thread_local std::vector<int> Rl;
+            Rl.clear();
+            for_each(bset.data(), [&](int v) { Rl.push_back(v); });
+            std::vector<uint64_t> Pex(P);
+            std::vector<uint64_t> P1(words);
+            for (int v : Rl) {
+                // include v (against the accumulated exclusions)
+                const uint64_t* rv = g.row(v);
+                for (int wi = 0; wi < words; ++wi)
+                    P1[wi] = Pex[wi] & ~rv[wi];
+                clearbit(P1.data(), v);
+                cur.push_back(v);
+                bnb(P1, curval + w[v], cur, best, best_sel, depth + 1);
+                cur.pop_back();
+                if (timed_out) { undo(); return; }
+                clearbit(Pex.data(), v);  // exclude v for later branches
+            }
+            // all of R excluded: cover bound says no improvement possible
+            undo();
+            return;
         }
         int v = pick;
         // branch 1: include v

@@ -39,10 +39,15 @@ def _load_native() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.isfile(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                # build to a temp file and atomically rename: ld truncates
+                # its output in place, which would corrupt the text pages of
+                # any process that already dlopen'd the old inode
+                tmp = _LIB + f".build{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     _SRC, "-o", _LIB],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.mwis_exact.restype = ctypes.c_int
             lib.mwis_exact.argtypes = [
