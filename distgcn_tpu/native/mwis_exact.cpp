@@ -1133,8 +1133,15 @@ struct Solver {
         // NT adoption above may have shrunk P since bset was computed —
         // intersect to stay inside the live set (still a valid cover of
         // every improving solution: removing vertices only shrinks S).
+        static const int multibranch = [] {
+            const char* e = std::getenv("DISTGCN_MULTIBRANCH");
+            return e ? atoi(e) : 0;  // A/B measured a tree-quality
+            // REGRESSION vs binary branching on the ER tail (b5: binary
+            // proves in 85 s, multibranch times out at 200 s despite 3x
+            // the node rate) — default off until the cover/order is tuned
+        }();
         int bcnt = 0;
-        if (!bset.empty())
+        if (multibranch && !bset.empty())
             for (int wi = 0; wi < words; ++wi) {
                 bset[wi] &= P[wi];
                 bcnt += __builtin_popcountll(bset[wi]);
@@ -1142,10 +1149,12 @@ struct Solver {
         int live_now = 0;
         for (int wi = 0; wi < words; ++wi)
             live_now += __builtin_popcountll(P[wi]);
-        if (bcnt > 0 && 2 * bcnt <= live_now) {
+        if (multibranch && bcnt > 0 && 2 * bcnt <= live_now) {
             static thread_local std::vector<int> Rl;
             Rl.clear();
             for_each(bset.data(), [&](int v) { Rl.push_back(v); });
+            if (multibranch == 2)
+                std::reverse(Rl.begin(), Rl.end());  // lightest-first
             std::vector<uint64_t> Pex(P);
             std::vector<uint64_t> P1(words);
             for (int v : Rl) {
