@@ -20,6 +20,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -335,9 +336,13 @@ class DiverAgent(MWISSolver):
         """Route the rollout-search entry point (DGCN-RS / CGCN-RS-Seq in
         sim/wireless.py) through the diver tree search, as the reference's
         rollout sims route through rollout_agent.solve_mwis_iterative
-        (wireless_rollout_test.py:37-43). Small pop budget: per-timeslot
-        scheduling wants bounded latency."""
-        return self.solve_mwis_bsf(adj_0, wts_0, max_pops=4)
+        (wireless_rollout_test.py:37-43). Per-timeslot scheduling wants
+        bounded latency; with device-batched pops (batch_pops) 8 pops cost
+        roughly the launches 4 unbatched ones did, so the per-slot budget
+        runs the full max_pops=8 search (DISTGCN_SLOT_POPS overrides)."""
+        pops = int(os.environ.get("DISTGCN_SLOT_POPS", "8"))
+        return self.solve_mwis_bsf(adj_0, wts_0, max_pops=pops,
+                                   batch_pops=pops)
 
     def solve_mwis_iterative(self, adj_0, wts_0, train: bool = False,
                              grd: float = 1.0) -> Tuple[set, float]:
