@@ -153,7 +153,16 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
     rng = np.random.default_rng(cfg.seed)
     epsilon_reset = {5, 10, 15, 20}
     epsilon_val = 1.0
+    # seed the checkpoint gate from the LOADED params' own test score, so a
+    # continuation run can never overwrite a better checkpoint with its
+    # first mediocre eval (the reference's fresh 0.55 gate assumes fresh
+    # training, mwis_gdpg_train.py:151-153)
     best_ratio = 0.55
+    if os.path.isfile(os.path.join(model_origin, "params.npz")):
+        u0, g0 = ev.evaluate(test_pairs)
+        best_ratio = max(best_ratio,
+                         float(np.mean(u0 / np.maximum(g0, 1e-9))))
+        print(f"checkpoint gate seeded at {best_ratio:.6f}", flush=True)
     bs = ns.device_batch
     loss_vec = []
     for epoch in range(cfg.epochs):
