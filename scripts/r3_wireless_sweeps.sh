@@ -8,7 +8,8 @@ cd "$(dirname "$0")/.."
 common="--wt_sel=qr --load_min=0.1 --load_max=1.0 --load_step=0.1 \
   --feature_size=1 --diver_num=1 --test_datapath=./data/wireless_test \
   --max_degree=1 --predict=mwis --hidden1=32 --num_layer=1 \
-  --training_set=IS4SAT --output=./output/wireless"
+  --training_set=IS4SAT --output=./output/wireless \
+  --model_root=/root/reference/model"
 for opt in 0 1 2 3; do
   timeout 14000 python -m distgcn_tpu.cli.wireless_sim $common \
     --num_channels=1 --opt=$opt \
