@@ -26,4 +26,28 @@ cli/       Command-line drivers replacing the reference bash/ scripts
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("DISTGCN_PLATFORM"):
+    # A site hook pre-imports jax, so JAX_PLATFORMS in the environment is
+    # read too late; route platform selection through jax.config instead.
+    # Used by CLI sweeps whose models are tiny enough that tunnel RTT to
+    # the TPU dominates compute (e.g. per-slot 1-layer GCN calls).
+    import jax as _jax
+
+    try:
+        _initialized = bool(_jax._src.xla_bridge._backends)
+    except Exception:
+        _initialized = False
+    if _initialized:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "DISTGCN_PLATFORM is set but a jax backend is already "
+            "initialized — import distgcn_tpu before touching jax "
+            "(e.g. before jax.devices()) for the hook to take effect.")
+    else:
+        _jax.config.update("jax_platforms",
+                           _os.environ["DISTGCN_PLATFORM"])
+
 from distgcn_tpu.utils.config import Config  # noqa: F401
