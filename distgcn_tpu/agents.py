@@ -159,6 +159,25 @@ class MWISSolver:
         except Exception:
             return      # non-ChebGCN layouts (mlp2, skip heads): keep as-is
         cfg = self.flags
+        # bias is part of the checkpoint's structure, not its dims: loading
+        # a biased (gcn2_dqn-trained) npz into a no-bias gcn_dqn agent (or
+        # vice versa) must rebuild the model, or the first optimizer.update
+        # dies on an Adam-state tree mismatch
+        has_bias = any(isinstance(layer, dict) and "bias" in layer
+                       for layer in self.params.values())
+        if (hasattr(self.model, "use_bias")
+                and bool(self.model.use_bias) != has_bias):
+            import dataclasses as _dc
+            self.model = _dc.replace(self.model, use_bias=has_bias)
+            self.__dict__.pop("_forward_fn", None)
+            if hasattr(self, "target_params"):
+                self.target_params = jax.tree_util.tree_map(jnp.copy,
+                                                            self.params)
+            if hasattr(self, "trainer"):
+                from distgcn_tpu.rl.train import ReplayTrainer
+                self.trainer = ReplayTrainer(self, style=self.trainer.style)
+            print(f"checkpoint bias structure overrides model: "
+                  f"use_bias={has_bias}")
         if self.model_family == "gcn2_dqn":
             out_flag, diver = 1, cfg.diver_num
         elif self.model_family == "deep_diver":

@@ -20,6 +20,7 @@
 
 from __future__ import annotations
 
+import heapq
 import os
 from typing import Tuple
 
@@ -115,6 +116,104 @@ class MLPAgent(DQNAgent):
 
             self._mlp_fwd = fwd
         return self._mlp_fwd
+
+
+class _BsfSearch:
+    """Per-graph state of the best-solution-first tree search, factored out
+    of `DiverAgent.solve_mwis_bsf` so that independent instances' searches
+    can run in LOCKSTEP and share device launches
+    (`DiverAgent.solve_mwis_bsf_many`). Semantics identical to the inline
+    loop this replaces: a heap of partial labelings nIS_vec in {-1 remain,
+    0 excluded, 1 fixed} ordered best-solution-first, deepen/backoff
+    children per head with probability `backoff` (mwis_dqn_test.py:59-135
+    machinery; flags runtime_config.py:19-20)."""
+
+    def __init__(self, adj_0, wts_0, max_pops, batch_pops, noout, backoff,
+                 rng):
+        self.adj = sp.csr_matrix(adj_0)
+        self.wts = np.asarray(wts_0, dtype=np.float64).flatten()
+        self.max_pops = max_pops
+        self.batch_pops = batch_pops
+        self.noout = noout
+        self.backoff = backoff
+        self.rng = rng
+        root = -np.ones(self.wts.size, dtype=np.int8)
+        self.heap = [(-np.inf, 0, root.tobytes())]
+        self.seen = {root.tobytes()}
+        self.counter = 1
+        self.best_set, self.best_util = set(), -np.inf
+        self.pops = 0
+
+    @property
+    def done(self) -> bool:
+        return not self.heap or self.pops >= self.max_pops
+
+    def pop_batch(self):
+        """Pop up to batch_pops best-first states; complete states settle
+        immediately. Returns [(nis, rem_idx, fixed_idx, fixed_util)]."""
+        batch = []
+        while (self.heap and len(batch) < self.batch_pops
+               and self.pops < self.max_pops):
+            _, _, blob = heapq.heappop(self.heap)
+            nis = np.frombuffer(blob, dtype=np.int8).copy()
+            self.pops += 1
+            remain = nis == -1
+            fixed_idx = np.nonzero(nis == 1)[0]
+            fixed_util = float(self.wts[fixed_idx].sum())
+            if not remain.any():
+                if fixed_util > self.best_util:
+                    self.best_util = fixed_util
+                    self.best_set = set(fixed_idx.tolist())
+                continue
+            batch.append((nis, np.nonzero(remain)[0], fixed_idx,
+                          fixed_util))
+        return batch
+
+    def absorb(self, batch, sels, probs_l):
+        """Fold the device evaluation of `batch`'s subgraphs back in:
+        record head completions as candidates, push deepen/backoff
+        children."""
+        adj, wts = self.adj, self.wts
+        for (nis, rem_idx, fixed_idx, fixed_util), sel, probs in zip(
+                batch, sels, probs_l):
+            order = np.argsort(-probs.max(axis=0))[: self.noout]
+            for k in order:
+                chosen_local = np.nonzero(sel[k] == 1)[0]
+                if chosen_local.size == 0:
+                    continue
+                comp = set(rem_idx[chosen_local].tolist())
+                util = fixed_util + float(wts[list(comp)].sum())
+                if util > self.best_util:
+                    self.best_util = util
+                    self.best_set = set(fixed_idx.tolist()) | comp
+                if self.rng.random() >= self.backoff:
+                    continue
+                # branch on the head's highest-scored selected node
+                v_local = chosen_local[np.argmax(probs[chosen_local, k])]
+                v = int(rem_idx[v_local])
+                # deepen: fix v in, exclude its neighbors
+                child = nis.copy()
+                child[v] = 1
+                nbrs = adj.indices[adj.indptr[v]: adj.indptr[v + 1]]
+                child[nbrs[child[nbrs] == -1]] = 0
+                b = child.tobytes()
+                if b not in self.seen:
+                    self.seen.add(b)
+                    heapq.heappush(self.heap, (-util, self.counter, b))
+                    self.counter += 1
+                # backoff: exclude v
+                child2 = nis.copy()
+                child2[v] = 0
+                b2 = child2.tobytes()
+                if b2 not in self.seen:
+                    self.seen.add(b2)
+                    heapq.heappush(self.heap, (-util, self.counter, b2))
+                    self.counter += 1
+
+    def result(self):
+        if self.best_util == -np.inf:
+            return set(), 0.0
+        return self.best_set, float(self.best_util)
 
 
 class DiverAgent(MWISSolver):
@@ -250,86 +349,80 @@ class DiverAgent(MWISSolver):
         batch_pops=1 recovers strict best-first order; batched order only
         differs when a pop's children would outrank the next heap entries.
         """
-        import heapq
         import time as _time
 
-        adj = sp.csr_matrix(adj_0)
-        wts = np.asarray(wts_0, dtype=np.float64).flatten()
-        n = wts.size
+        s = _BsfSearch(adj_0, wts_0, max_pops, batch_pops,
+                       min(self.flags.diver_num, self.flags.diver_out),
+                       self.flags.backoff_prob, self._rng)
+        deadline = (_time.time() + time_limit) if time_limit else None
+        while not s.done:
+            if deadline and _time.time() > deadline:
+                break
+            batch = s.pop_batch()
+            if not batch:
+                continue
+            sels, probs_l = self._eval_heads_on_subgraphs(
+                [s.adj[ri][:, ri] for _, ri, _, _ in batch],
+                [s.wts[ri] for _, ri, _, _ in batch])
+            s.absorb(batch, sels, probs_l)
+        return s.result()
+
+    def solve_mwis_bsf_many(self, insts, max_pops: int = 16,
+                            time_limit: float = None,
+                            batch_pops: int = 4, group: int = 4):
+        """Run `group` instances' bsf searches in LOCKSTEP: each iteration
+        pops up to `batch_pops` states from every active search and
+        evaluates ALL their subgraphs in one `_eval_heads_on_subgraphs`
+        pass, so the per-launch tunnel round-trip (and XLA dispatch) is
+        amortized across graphs, not just across one graph's pops.
+
+        Per-graph search semantics are identical to `solve_mwis_bsf` (same
+        heap order, same children); only the shared-RNG draw order differs
+        from running the instances sequentially. Finished searches retire
+        and the next instance takes their slot, so the device batch stays
+        full until the tail. insts: list of (adj, wts); returns a list of
+        (set, util) in input order.
+        """
+        import time as _time
+
         noout = min(self.flags.diver_num, self.flags.diver_out)
         backoff = self.flags.backoff_prob
         deadline = (_time.time() + time_limit) if time_limit else None
-        rng = self._rng
-
-        root = -np.ones(n, dtype=np.int8)
-        heap = [(-np.inf, 0, root.tobytes())]
-        seen = {root.tobytes()}
-        counter = 1
-        best_set, best_util = set(), -np.inf
-        pops = 0
-        while heap and pops < max_pops:
-            if deadline and _time.time() > deadline:
+        results = [None] * len(insts)
+        todo = list(range(len(insts)))
+        active = []                                     # (idx, _BsfSearch)
+        while todo or active:
+            while todo and len(active) < group:
+                i = todo.pop(0)
+                active.append((i, _BsfSearch(
+                    insts[i][0], insts[i][1], max_pops, batch_pops,
+                    noout, backoff, self._rng)))
+            batches = []
+            subs, wl = [], []
+            for _, s in active:
+                b = s.pop_batch()
+                batches.append(b)
+                subs.extend(s.adj[ri][:, ri] for _, ri, _, _ in b)
+                wl.extend(s.wts[ri] for _, ri, _, _ in b)
+            if subs:
+                sels, probs_l = self._eval_heads_on_subgraphs(subs, wl)
+                o = 0
+                for (_, s), b in zip(active, batches):
+                    s.absorb(b, sels[o: o + len(b)], probs_l[o: o + len(b)])
+                    o += len(b)
+            timed_out = deadline and _time.time() > deadline
+            still = []
+            for idx, s in active:
+                if s.done or timed_out:
+                    results[idx] = s.result()
+                else:
+                    still.append((idx, s))
+            active = still
+            if timed_out:
+                for idx, s in active:
+                    results[idx] = s.result()
                 break
-            # ---- pop a batch of best-first states
-            batch = []      # (nis, rem_idx, fixed_idx, fixed_util)
-            while heap and len(batch) < batch_pops and pops < max_pops:
-                _, _, blob = heapq.heappop(heap)
-                nis = np.frombuffer(blob, dtype=np.int8).copy()
-                pops += 1
-                remain = nis == -1
-                fixed_idx = np.nonzero(nis == 1)[0]
-                fixed_util = float(wts[fixed_idx].sum())
-                if not remain.any():
-                    if fixed_util > best_util:
-                        best_util = fixed_util
-                        best_set = set(fixed_idx.tolist())
-                    continue
-                batch.append((nis, np.nonzero(remain)[0], fixed_idx,
-                              fixed_util))
-            if not batch:
-                continue
-            # ---- all states' subgraphs + heads in two device launches
-            sels, probs_l = self._eval_heads_on_subgraphs(
-                [adj[ri][:, ri] for _, ri, _, _ in batch],
-                [wts[ri] for _, ri, _, _ in batch])
-            for (nis, rem_idx, fixed_idx, fixed_util), sel, probs in zip(
-                    batch, sels, probs_l):
-              order = np.argsort(-probs.max(axis=0))[:noout]
-              for k in order:
-                  chosen_local = np.nonzero(sel[k] == 1)[0]
-                  if chosen_local.size == 0:
-                      continue
-                  comp = set(rem_idx[chosen_local].tolist())
-                  util = fixed_util + float(wts[list(comp)].sum())
-                  if util > best_util:
-                      best_util = util
-                      best_set = set(fixed_idx.tolist()) | comp
-                  if rng.random() >= backoff:
-                      continue
-                  # branch on the head's highest-scored selected node
-                  v_local = chosen_local[np.argmax(probs[chosen_local, k])]
-                  v = int(rem_idx[v_local])
-                  # deepen: fix v in, exclude its neighbors
-                  child = nis.copy()
-                  child[v] = 1
-                  nbrs = adj.indices[adj.indptr[v]: adj.indptr[v + 1]]
-                  child[nbrs[child[nbrs] == -1]] = 0
-                  b = child.tobytes()
-                  if b not in seen:
-                      seen.add(b)
-                      heapq.heappush(heap, (-util, counter, b))
-                      counter += 1
-                  # backoff: exclude v
-                  child2 = nis.copy()
-                  child2[v] = 0
-                  b2 = child2.tobytes()
-                  if b2 not in seen:
-                      seen.add(b2)
-                      heapq.heappush(heap, (-util, counter, b2))
-                      counter += 1
-        if best_util == -np.inf:
-            return set(), 0.0
-        return best_set, float(best_util)
+        return results
 
     def solve_mwis_rollout_wrap(self, adj_0, wts_0, train: bool = False,
                                 grd: float = 1.0) -> Tuple[set, float]:

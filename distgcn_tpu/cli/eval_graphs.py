@@ -46,6 +46,9 @@ def main(argv=None):
     extra.add_argument("--max_pops", type=int, default=8)
     extra.add_argument("--batch_pops", type=int, default=8,
                        help="bsf states evaluated per device launch pair")
+    extra.add_argument("--group", type=int, default=4,
+                       help="instances searched in lockstep, sharing "
+                            "device launches (solve_mwis_bsf_many)")
     ns, _ = extra.parse_known_args(argv)
 
     if ns.rollout:
@@ -115,20 +118,27 @@ def rollout_main(cfg: Config, ns):
 
     t0 = time.time()
     todo = df.index[df["p"] == 0].tolist()
-    for j, idx in enumerate(todo):
-        fname = df.loc[idx, "data"]
-        inst = load_mat(os.path.join(cfg.datapath, fname))
-        _, gutil = greedy_search(inst.adj, inst.weights)
-        _, util = agent.solve_mwis_bsf(inst.adj, inst.weights,
-                                       max_pops=ns.max_pops,
-                                       batch_pops=ns.batch_pops)
-        df.loc[idx, "p"] = util / gutil if gutil else 1.0
-        if (j + 1) % 25 == 0 or j + 1 == len(todo):
+    # instances are searched `group` at a time in lockstep, sharing device
+    # launches across graphs (DiverAgent.solve_mwis_bsf_many)
+    done_cnt = 0
+    for start in range(0, len(todo), ns.group):
+        chunk = todo[start: start + ns.group]
+        insts = [load_mat(os.path.join(cfg.datapath, df.loc[i, "data"]))
+                 for i in chunk]
+        results = agent.solve_mwis_bsf_many(
+            [(inst.adj, inst.weights) for inst in insts],
+            max_pops=ns.max_pops, batch_pops=ns.batch_pops, group=ns.group)
+        for idx, inst, (_, util) in zip(chunk, insts, results):
+            _, gutil = greedy_search(inst.adj, inst.weights)
+            df.loc[idx, "p"] = util / gutil if gutil else 1.0
+        done_cnt += len(chunk)
+        if done_cnt % 24 < ns.group or done_cnt == len(todo):
             df.to_csv(out_csv)
             done = df[df["p"] > 0]
-            print(f"{j + 1}/{len(todo)}  mean p so far: "
+            print(f"{done_cnt}/{len(todo)}  mean p so far: "
                   f"{done['p'].mean():.6f}  "
-                  f"({(j + 1) / (time.time() - t0):.2f} graphs/s)")
+                  f"({done_cnt / (time.time() - t0):.2f} graphs/s)",
+                  flush=True)
     df.to_csv(out_csv)
     solved = df[df["p"] > 0]
     print(f"rollout sweep: {len(solved)}/{len(df)} instances, mean ratio "

@@ -47,7 +47,19 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
     test_insts = load_dataset_cached(cfg.test_datapath)
 
     rng = np.random.default_rng(cfg.seed)
+    # seed the checkpoint gate from the LOADED params' own test score, so a
+    # continuation run can never overwrite a better checkpoint with its
+    # first mediocre eval (same fix as train_gdpg; the reference's fresh
+    # 0.55 gate assumes fresh training, mwis_dqn_origin.py:451-453)
     best_ratio = 0.55
+    if os.path.isfile(os.path.join(model_origin, "params.npz")):
+        seed_ratio = []
+        for tinst in test_insts:
+            _, g_u = greedy_search(tinst.adj, tinst.weights)
+            _, u = agent.solve_mwis(tinst.adj, tinst.weights, train=False)
+            seed_ratio.append(u / g_u if g_u else 1.0)
+        best_ratio = max(best_ratio, float(np.mean(seed_ratio)))
+        print(f"checkpoint gate seeded at {best_ratio:.6f}", flush=True)
     loss_vec = []
     for epoch in range(cfg.epochs):
         losses, p_ratios = [], []

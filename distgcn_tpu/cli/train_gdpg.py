@@ -36,13 +36,15 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
     extra.add_argument("--replay_every", type=int, default=200)
     extra.add_argument("--replay_batch", type=int, default=200)
     extra.add_argument("--target_style", default="gdpg",
-                       choices=["gdpg", "dqn"],
+                       choices=["gdpg", "dqn", "dqn_origin"],
                        help="replay targets: gdpg = act_vals[sol]+=reward "
                             "then batch-standardize (mwis_gdpg_call.py:740-"
                             "757); dqn = bounded assignment act_vals[sol]="
                             "reward (mwis_dqn_call.py:168-171) — the style "
                             "that trained the reference's 20-layer zoo "
-                            "models, and the stable one at depth")
+                            "models, and the stable one at depth; "
+                            "dqn_origin = reward + per-node w/greedy term "
+                            "(mwis_dqn_origin.py:216)")
     extra.add_argument("--device_batch", type=int, default=0,
                        help=">0: TPU-native batched training — solve "
                             "device_batch graphs per launch instead of the "

@@ -104,6 +104,16 @@ class ReplayTrainer:
                 av = av[:, None]
             if self.style == "gdpg":
                 av[np.asarray(action, dtype=int), :] += reward
+            elif self.style == "dqn_origin":
+                # mwis_dqn_origin.py:216: target_f[solu] = reward + wts_norm
+                # with wts_norm = wts[solu]/greedy_util; greedy_util isn't
+                # memorized but reward = total/greedy, so w/greedy =
+                # w * reward / total
+                idx = np.asarray(action, dtype=int)
+                w = np.asarray(state["wts"], dtype=np.float64).flatten()[idx]
+                tot = float(w.sum())
+                scale = reward / tot if tot > 0 else 0.0
+                av[idx, :] = reward + (w * scale)[:, None]
             else:  # dqn flavor: assignment (mwis_dqn_call.py:168-171)
                 av[np.asarray(action, dtype=int), :] = reward
             adjs.append(state["adj"])
