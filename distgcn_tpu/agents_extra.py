@@ -278,9 +278,20 @@ class DiverAgent(MWISSolver):
             w[0, : ns[0]] = np.asarray(sub_wts_list[0], np.float32)
             wts_dev = jnp.asarray(w)
         if gb is None:
+            # pad the BATCH axis to a multiple of 8: the pop count per
+            # iteration varies (heap draining, searches retiring), and an
+            # unpadded Q re-specializes the jitted eval per distinct value
+            # — a fresh XLA compile per call over the tunnel dwarfs the
+            # dummy rows' cost
+            q_pad = -(-q // 8) * 8
+            pads = q_pad - q
+            sub_adjs = ([sp.csr_matrix(a) for a in sub_adjs]
+                        + [sp.csr_matrix((1, 1), dtype=np.float32)] * pads)
+            sub_wts_list = ([np.asarray(w, np.float32)
+                             for w in sub_wts_list]
+                            + [np.zeros(1, np.float32)] * pads)
             gb = GraphBatch.from_scipy(
-                [sp.csr_matrix(a) for a in sub_adjs],
-                [np.asarray(w, np.float32) for w in sub_wts_list],
+                sub_adjs, sub_wts_list,
                 pad_to=pad_bucket(max(ns), self.flags.pad_to))
             wts_dev = gb.wts
         sel, probs = self._bsf_eval_fn(self.params, gb.adj, wts_dev, gb.mask)
