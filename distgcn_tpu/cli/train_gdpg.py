@@ -49,6 +49,14 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
                        help=">0: TPU-native batched training — solve "
                             "device_batch graphs per launch instead of the "
                             "reference's one-graph-at-a-time loop")
+    extra.add_argument("--start_epoch", type=int, default=0,
+                       help="resume the 25-epoch recipe at this epoch with "
+                            "the reference's epsilon-reset schedule state "
+                            "restored (mwis_gdpg_train.py:77,175-177: "
+                            "epsilon_val = 0.2^|{r in {5,10,15,20}: "
+                            "r <= start_epoch}|) — NOT a fresh low-epsilon "
+                            "continuation, which demonstrably degrades "
+                            "on-policy quality (r3c continuation log)")
     ns, _ = extra.parse_known_args(argv)
     if ns.device_batch > 0:
         return main_batched(cfg, ns, agent, max_graphs_per_epoch)
@@ -66,10 +74,18 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
     rng = np.random.default_rng(cfg.seed)
     epsilon_reset = {5, 10, 15, 20}
     epsilon_val = 1.0
+    if ns.start_epoch:
+        # restore the reset-schedule state and keep the shuffle stream
+        # aligned with the epochs already trained
+        epsilon_val = 0.2 ** sum(1 for rr in epsilon_reset
+                                 if rr <= ns.start_epoch)
+        agent.epsilon = epsilon_val
+        for _ in range(ns.start_epoch):
+            rng.permutation(len(train_files))
     best_ratio = 0.55
     loss_vec = []
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(ns.start_epoch, cfg.epochs):
         losses, p_ratios = [], []
         cnt = 0
         newtime = time.time()
@@ -155,6 +171,13 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
     rng = np.random.default_rng(cfg.seed)
     epsilon_reset = {5, 10, 15, 20}
     epsilon_val = 1.0
+    start_epoch = getattr(ns, "start_epoch", 0)
+    if start_epoch:
+        epsilon_val = 0.2 ** sum(1 for rr in epsilon_reset
+                                 if rr <= start_epoch)
+        agent.epsilon = epsilon_val
+        for _ in range(start_epoch):
+            rng.permutation(len(adjs))
     # seed the checkpoint gate from the LOADED params' own test score, so a
     # continuation run can never overwrite a better checkpoint with its
     # first mediocre eval (the reference's fresh 0.55 gate assumes fresh
@@ -167,7 +190,7 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
         print(f"checkpoint gate seeded at {best_ratio:.6f}", flush=True)
     bs = ns.device_batch
     loss_vec = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         order = rng.permutation(len(adjs))
         if max_graphs_per_epoch:
             order = order[:max_graphs_per_epoch]

@@ -1,16 +1,30 @@
-"""Giant-graph scale-out: BSR panels + Pallas kernels over a device ring.
+"""Giant-graph scale-out: int8 structure panels + Pallas kernels over a ring.
 
 Combines `large.py` (single-chip Pallas BSR model path) with the ring
-pattern of `parallel/halo.py`: the normalized adjacency's BSR blocks are
-partitioned into a [D, D] grid of panels — device d owns block-row slab d,
-panel (d, s) holds its blocks whose block-column falls in slab s. Feature
-shards travel the ring (`jax.lax.ppermute` over ICI); at ring step k each
-device multiplies (or neighbor-max-reduces) its panel against the shard it
+pattern of `parallel/halo.py`: the adjacency's BSR blocks are partitioned
+into a [D, D] grid of panels — device d owns block-row slab d, panel (d, s)
+holds its blocks whose block-column falls in slab s. Feature shards travel
+the ring (`jax.lax.ppermute` over ICI); at ring step k each device
+multiplies (or neighbor-max-reduces) its panel against the shard it
 currently holds, so compute overlaps the permute and peak memory is
-N*F/D + its slab of blocks. This is the giant-graph end-to-end demo of
-SURVEY §2.5's SP analog: support build -> L-layer GCN forward -> LGS,
-everything sharded, the per-panel work in the Pallas kernels
-(`ops.spmm._bsr_spmm_rows` / `_bsr_nbr_max_rows`).
+N*F/D + its slab of blocks.
+
+For 0/1 adjacencies (every conflict graph) normalize_adj is SEPARABLE:
+Anorm = diag(r) A diag(r) with r = deg^-1/2 (ops/cheb_fused.py module doc),
+so — exactly like the single-chip fused path — the sharded forward streams
+ONLY int8 structure panels: the traveling shard is pre-scaled by its home
+slab's r, the ring accumulates A @ (r ⊙ y) through the int8 SpMM kernel,
+and the owner slab applies the row scaling r ⊙ (·) on the result. Value
+panels do not exist on device at all; the SpMM and the LGS neighbor-max
+share one int8 panel stream (4x less block traffic and ~3-4x less HBM
+footprint than the f32 value panels this module carried before —
+VERDICT r3 weak #3). Weighted adjacencies (non-separable normalization)
+fall back to f32/bf16 value panels.
+
+This is the giant-graph end-to-end demo of SURVEY §2.5's SP analog:
+support build -> L-layer GCN forward -> LGS, everything sharded, the
+per-panel work in the Pallas kernels (`ops.spmm._bsr_spmm_rows` /
+`_bsr_nbr_max_rows`).
 
 The reference never partitions a graph (largest ~300 nodes,
 heuristics.py:77-116 is a per-node protocol *cost model*); this module is
@@ -49,33 +63,63 @@ def _ring_perm(d: int):
 
 @dataclass
 class ShardedLargeGraph:
-    """BSR panels of Anorm partitioned [D, D]; slab d = rows of device d."""
+    """BSR panels of A (structure) partitioned [D, D]; slab d = rows of
+    device d. `ind` always exists (LGS + separable SpMM operand); `vals`
+    (Anorm value panels) only for non-separable normalizations."""
     n: int            # real node count
     n_pad: int        # multiple of d * block_size
     n_loc: int        # n_pad // d
     d: int
     block_size: int
     nb_max: int       # per-panel block count (padded uniform)
-    # [D, D, nb_max, bs, bs] / [D, D, nr_loc+1] / [D, D, nb_max]
-    vals: np.ndarray
+    # [D, D, nr_loc+1] / [D, D, nb_max]
     rptr: np.ndarray
     cols: np.ndarray
     mask: np.ndarray  # [n_pad] bool
-    # int8 0/1 structure panels for the LGS neighbor-max rounds (half the
-    # ring traffic of the bf16 value panels — structure is all LGS needs)
+    # int8 0/1 structure panels [D, D, nb_max, bs, bs]: the LGS
+    # neighbor-max operand AND (separable graphs) the SpMM operand
     ind: np.ndarray = None
+    # r = deg^-1/2 per node [n_pad] f32 (Anorm = diag(r) A diag(r), exact
+    # for 0/1 adjacencies — gcn/utils.py:120-128 separated)
+    r: Optional[np.ndarray] = None
+    # f32/bf16 Anorm VALUE panels — non-separable normalizations only
+    vals: Optional[np.ndarray] = None
+    separable: bool = True
     interpret: bool = False
+
+    @property
+    def nnz_blocks(self) -> int:
+        """Real (streamed) block count = what rptr addresses."""
+        return int(self.rptr[:, :, -1].sum())
+
+    def bytes_per_edge(self, nnz: int, f: int = 128,
+                       n_layers: int = 1) -> float:
+        """Streamed HBM bytes per real directed edge for one forward pass:
+        int8 panel blocks (re-read per layer per ring sweep) + the f32
+        activation shard read + acc update per ring step. The single-chip
+        fused path's equivalent accounting is bench.py's
+        `large_bytes_per_edge` (~54 at N=65k)."""
+        bs = self.block_size
+        blocks = self.nnz_blocks * bs * bs * (1 if self.separable else 4)
+        acts = self.d * self.n_pad * f * 4 * 2   # z in + acc rmw per step
+        return n_layers * (blocks + acts) / max(nnz, 1)
 
 
 def shard_large_graph(adj, n_devices: int, block_size: int = 512,
                       interpret: bool = False,
-                      block_dtype=np.float32) -> ShardedLargeGraph:
-    """Partition normalize_adj(A) into the [D, D] panel grid."""
+                      block_dtype=np.float32,
+                      value_blocks: Optional[bool] = None
+                      ) -> ShardedLargeGraph:
+    """Partition A's structure (and, for non-separable normalizations, the
+    normalize_adj(A) values) into the [D, D] panel grid."""
     adj = sp.csr_matrix(adj)
     n = adj.shape[0]
     bs, d = block_size, n_devices
     n_pad = -(-n // (bs * d)) * (bs * d)
     nr_loc = n_pad // (bs * d)
+    separable = bool(adj.nnz == 0 or np.all(adj.data == 1))
+    if value_blocks is None:
+        value_blocks = not separable
     anorm = sp.coo_matrix(prep.normalize_adj(adj))
     br = (anorm.row // bs).astype(np.int64)       # int64: key has ~4 index
     bc = (anorm.col // bs).astype(np.int64)       # factors and would wrap
@@ -85,7 +129,6 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
     uniq, inv = np.unique(key, return_inverse=True)
     nb_per_panel = np.bincount(uniq // (nr_loc * nr_loc), minlength=d * d)
     nb_max = max(int(nb_per_panel.max()), 1)
-    vals = np.zeros((d, d, nb_max, bs, bs), dtype=block_dtype)
     cols = np.zeros((d, d, nb_max), np.int32)
     rptr = np.zeros((d, d, nr_loc + 1), np.int32)
     # position of each unique block within its panel (uniq is sorted, so
@@ -98,8 +141,14 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
     u_lbr = (uniq // nr_loc) % nr_loc
     u_lbc = uniq % nr_loc
     cols[u_pr, u_ps, pos_in_panel] = u_lbc.astype(np.int32)
-    vals[u_pr[inv], u_ps[inv], pos_in_panel[inv],
-         anorm.row % bs, anorm.col % bs] = anorm.data
+    ind = np.zeros((d, d, nb_max, bs, bs), np.int8)
+    ind[u_pr[inv], u_ps[inv], pos_in_panel[inv],
+        anorm.row % bs, anorm.col % bs] = 1
+    vals = None
+    if value_blocks:
+        vals = np.zeros((d, d, nb_max, bs, bs), dtype=block_dtype)
+        vals[u_pr[inv], u_ps[inv], pos_in_panel[inv],
+             anorm.row % bs, anorm.col % bs] = anorm.data
     for p in range(d * d):
         sel = panel_of == p
         cnt = np.bincount(u_lbr[sel], minlength=nr_loc)
@@ -107,34 +156,50 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
             [[0], np.cumsum(cnt)]).astype(np.int32)
     mask = np.zeros(n_pad, bool)
     mask[:n] = True
+    r = None
+    if separable:
+        # d_inv_sqrt exactly as normalize_adj computes it (float64 power)
+        rowsum = np.asarray(adj.sum(1)).ravel()
+        with np.errstate(divide="ignore"):
+            rv = np.power(rowsum, -0.5)
+        rv[np.isinf(rv)] = 0.0
+        r = np.zeros(n_pad, np.float32)
+        r[:n] = rv
     return ShardedLargeGraph(n=n, n_pad=n_pad, n_loc=n_pad // d, d=d,
-                             block_size=bs, nb_max=nb_max, vals=vals,
-                             rptr=rptr, cols=cols, mask=mask,
-                             ind=(vals != 0).astype(np.int8),
-                             interpret=interpret)
+                             block_size=bs, nb_max=nb_max, rptr=rptr,
+                             cols=cols, mask=mask, ind=ind, r=r, vals=vals,
+                             separable=separable, interpret=interpret)
 
 
 def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
                              feature_size: int = 1,
                              max_degree: int = 1, predict: str = "mwis",
                              final_act_same: bool = False):
-    """Jitted sharded solve(vals, rptr, cols, params_list, wts, mask) on the
-    `graph`-axis mesh: features -> L-layer GCN (ring BSR SpMM) ->
-    rank-based LGS (ring BSR neighbor-max rounds) -> (sel, util).
+    """Jitted sharded solve(a1, a2, a3, a4, params_list, wts, mask) on the
+    `graph`-axis mesh: features -> L-layer GCN (ring int8-panel SpMM) ->
+    rank-based LGS (ring int8-panel neighbor-max rounds) -> (sel, util).
 
-    Array arguments arrive sharded P(AXIS) on their leading device axis
-    (use `shard_arrays`); params replicated. wts/mask/sel are [n_pad]
-    sharded P(AXIS).
+    The four leading array args come from `shard_arrays` — for separable
+    graphs (ind, rptr, cols, r); for value-panel graphs (vals, rptr, cols,
+    ind). All arrive sharded P(AXIS) on their leading axis; params
+    replicated. wts/mask/sel are [n_pad] sharded P(AXIS).
     """
     d = graph.d
     n_loc = graph.n_loc
     bs, interp = graph.block_size, graph.interpret
+    separable = graph.separable
     final_act = leaky_relu02 if final_act_same else identity
     hp = jax.lax.Precision.HIGHEST
 
-    def local_fn(vals, rptr, cols, ind, params_list, wts_loc, mask_loc):
+    def local_fn(a1, a2, a3, a4, params_list, wts_loc, mask_loc):
         # leading panel axis is sharded away: [D, nb, bs, bs] etc.
-        vals, rptr, cols, ind = vals[0], rptr[0], cols[0], ind[0]
+        if separable:
+            ind, rptr, cols = a1[0], a2[0], a3[0]
+            r_loc = a4            # [n_loc] f32, this slab's deg^-1/2
+            vals = None
+        else:
+            vals, rptr, cols, ind = a1[0], a2[0], a3[0], a4[0]
+            r_loc = None
         my = jax.lax.axis_index(AXIS)
 
         def ring_reduce(x_loc, panel_op, init):
@@ -149,16 +214,18 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
             _, acc = jax.lax.fori_loop(0, d, step, (x_loc, init))
             return acc
 
-        def spmm_panel(acc, src, shard):
-            v = jax.lax.dynamic_index_in_dim(vals, src, keepdims=False)
-            rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
-            c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
-            return acc + spmm_mod._bsr_spmm_rows(v, rp, c, shard, n_loc, bs,
-                                                 interpret=interp)
+        def spmm_panel_blocks(blocks):
+            def op(acc, src, shard):
+                v = jax.lax.dynamic_index_in_dim(blocks, src, keepdims=False)
+                rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
+                c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
+                return acc + spmm_mod._bsr_spmm_rows(v, rp, c, shard, n_loc,
+                                                     bs, interpret=interp)
+            return op
 
         def nbrmax_panel(acc, src, shard):
-            # int8 structure panels: half the HBM traffic of the bf16
-            # value panels, same neighbor set
+            # int8 structure panels: the only block stream the separable
+            # path keeps (shared by SpMM + both LGS reductions)
             v = jax.lax.dynamic_index_in_dim(ind, src, keepdims=False)
             rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
@@ -178,11 +245,21 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
             # pad lanes to 128 for the kernel (head layer F < 128)
             f = y.shape[1]
             fp = max(-(-f // 128) * 128, 128) if not interp else f
+            if separable:
+                # Anorm@y = r ⊙ ringsum_s A[my,s] @ (r_s ⊙ y_s): pre-scale
+                # the home shard, ride int8 structure panels, row-scale the
+                # slab result (ops/cheb_fused.py separable identity)
+                y = y * r_loc[:, None]
             if fp != f:
                 y = jnp.pad(y, ((0, 0), (0, fp - f)))
-            out = ring_reduce(y, spmm_panel, jnp.zeros((n_loc, y.shape[1]),
-                                                       jnp.float32))
-            return out[:, :f] if fp != f else out
+            op = spmm_panel_blocks(ind if separable else vals)
+            out = ring_reduce(y, op, jnp.zeros((n_loc, y.shape[1]),
+                                               jnp.float32))
+            if fp != f:
+                out = out[:, :f]
+            if separable:
+                out = out * r_loc[:, None]
+            return out
 
         # ---- features (mwis_gdpg_call.py:82-97 semantics)
         m = mask_loc.astype(jnp.float32)
@@ -218,12 +295,12 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
         sel0 = jnp.where(mask_loc, jnp.int8(-1), jnp.int8(0))
 
         def cond(state):
-            sel, r = state
+            sel, rd = state
             any_l = jnp.any(sel == -1).astype(jnp.int32)
-            return (jax.lax.psum(any_l, AXIS) > 0) & (r < d * n_loc)
+            return (jax.lax.psum(any_l, AXIS) > 0) & (rd < d * n_loc)
 
         def body(state):
-            sel, r = state
+            sel, rd = state
             remain = sel == -1
             rr = jnp.where(remain, ranks_loc, -1)
             mx = ring_reduce(rr, nbrmax_panel_i32,
@@ -235,7 +312,7 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
                                        jnp.float32)) > 0.0
             sel = jnp.where(win, jnp.int8(1), sel)
             sel = jnp.where(remain & ~win & hit, jnp.int8(0), sel)
-            return sel, r + 1
+            return sel, rd + 1
 
         sel, _ = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
         util = jax.lax.psum(jnp.sum(jnp.where(sel == 1, wts_loc, 0.0)),
@@ -252,8 +329,17 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
 
 
 def shard_arrays(mesh: Mesh, graph: ShardedLargeGraph):
-    """Device-put the panel arrays + mask with their solve shardings."""
+    """Device-put the panel arrays + mask with their solve shardings.
+
+    Returns the 4 leading solve args + mask: separable graphs ship ONLY
+    the int8 structure panels and the r vector — no value panels exist."""
     sh = NamedSharding(mesh, P(AXIS))
+    if graph.separable:
+        return (jax.device_put(graph.ind, sh),
+                jax.device_put(graph.rptr, sh),
+                jax.device_put(graph.cols, sh),
+                jax.device_put(graph.r, sh),
+                jax.device_put(graph.mask, sh))
     return (jax.device_put(graph.vals, sh), jax.device_put(graph.rptr, sh),
             jax.device_put(graph.cols, sh),
             jax.device_put(graph.ind, sh),
