@@ -252,13 +252,23 @@ def main():
         # (LGS passes + activation streams excluded), so it UNDERSTATES
         # the achieved fraction of the 819 GB/s v5e HBM datasheet rate
         ind = lg.ind_bsr
-        blk_bytes = int(ind.num_blocks) * ind.block_size ** 2
+        cell_area = int(ind.num_blocks) * ind.block_size ** 2
+        # round 4: the structure stream is bitmap-packed (1 bit/cell,
+        # ops/spmm.pack_bits_blocks) — 8x less than the r3 int8 stream.
+        # With the stream this small the kernel is block-AREA-bound (MXU
+        # matmuls + VPU bitmap expand over ~2-4%-dense blocks), so the
+        # HBM roofline fraction is no longer the binding constraint;
+        # both the byte and the area accounting are reported.
+        blk_bytes = cell_area // 8 if lg.bitmap else cell_area
         large = {"large_n": lg.n, "large_edges": int(ladj.nnz),
                  "large_solve_ms": round(ms_dqn, 1),
                  "large_gedges_per_s": round(
                      ladj.nnz * nl_large / (ms_dqn / 1000) / 1e9, 3),
                  "large_hoisted_solve_ms": round(ms_hoisted, 1),
+                 "large_struct_format": "bitmap" if lg.bitmap else "int8",
                  "large_bytes_per_edge": round(blk_bytes / ladj.nnz, 1),
+                 "large_block_area_per_edge": round(
+                     cell_area / ladj.nnz, 1),
                  "large_hbm_roofline_frac": round(
                      nl_large * blk_bytes / (ms_dqn / 1000) / 819e9, 3)}
     except Exception as e:  # keep the bench line printing on any failure

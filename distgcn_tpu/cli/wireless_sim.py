@@ -218,6 +218,12 @@ def main_device_loop(cfg, ns, agent=None, max_networks: int = 20):
         for i, (seed, nf, _) in enumerate(nets):
             if results.done(seed, seed, load):
                 continue
+            # column-semantics divergence (documented): the reference's
+            # summary CSV stores the per-load tree seed here
+            # (wireless_dqn_test.py treeseed=i); the device-loop rows
+            # repeat the graph seed instead — resume keys include `load`,
+            # so resumability is unaffected, but the column is not
+            # byte-compatible with the reference format for these rows
             row = {"graph": seed, "seed": seed, "load": load,
                    "name": "DGCN-LGS-DL", "avg_degree": 0.0,
                    "avg_queue_len": float(metrics["avg_queue_len"][i]),

@@ -49,14 +49,20 @@ def _dense_from_edges(edges: jnp.ndarray, n: int) -> jnp.ndarray:
 
     Padding rows are (0, 0) — they scatter onto the diagonal, which is
     zeroed afterwards (conflict graphs have no self-loops).
+
+    The batch adjacency PERSISTS as int8 0/1 (VERDICT r3 #7): conflict
+    structure needs one byte, not four — 4x less HBM footprint and stream
+    for every consumer that reads structure (`batched_lgs` adjacency,
+    support builds, feature masks). Numeric consumers cast at their
+    boundary (`core.prep.normalize_adj_dense`).
     """
     b, e, _ = edges.shape
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (b, e), 0)
-    adj = jnp.zeros((b, n, n), jnp.float32)
-    adj = adj.at[b_idx, edges[..., 0], edges[..., 1]].set(1.0)
+    adj = jnp.zeros((b, n, n), jnp.int8)
+    adj = adj.at[b_idx, edges[..., 0], edges[..., 1]].set(1)
     adj = jnp.maximum(adj, jnp.swapaxes(adj, -1, -2))
     diag = jnp.eye(n, dtype=bool)
-    return jnp.where(diag, 0.0, adj)
+    return jnp.where(diag, jnp.int8(0), adj)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -116,7 +116,12 @@ def normalize_adj_dense(adj: jnp.ndarray) -> jnp.ndarray:
 
     Isolated (or padding) nodes have zero degree -> their rows/cols are zero,
     matching the host rule inf -> 0.
+
+    Accepts int8 structure (the `GraphBatch` persistent form) or float;
+    normalization math always runs f32.
     """
+    if adj.dtype != jnp.float32:
+        adj = adj.astype(jnp.float32)
     deg = jnp.sum(adj, axis=-1)
     # 1/sqrt rather than lax.rsqrt: the TPU rsqrt approximation costs ~4e-4
     # relative error, which breaks activation parity with the reference.
@@ -133,6 +138,8 @@ def simple_polynomials_dense(adj: jnp.ndarray, k: int) -> jnp.ndarray:
     I... they do NOT: reference L = I - Anorm has 1 on EVERY diagonal entry
     (isolated nodes included). We therefore use the full identity.
     """
+    if adj.dtype != jnp.float32:     # int8 GraphBatch structure
+        adj = adj.astype(jnp.float32)
     n = adj.shape[-1]
     eye = jnp.eye(n, dtype=adj.dtype)
     eye = jnp.broadcast_to(eye, adj.shape)
@@ -153,6 +160,8 @@ def masked_simple_polynomials_dense(adj: jnp.ndarray, mask: jnp.ndarray,
     masked identity the padded computation restricted to real nodes equals the
     unpadded one (L's off-diagonals never touch padding since adj there is 0).
     """
+    if adj.dtype != jnp.float32:     # int8 GraphBatch structure
+        adj = adj.astype(jnp.float32)
     n = adj.shape[-1]
     m = mask.astype(adj.dtype)
     eye = jnp.eye(n, dtype=adj.dtype) * m[..., None, :]

@@ -49,13 +49,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from distgcn_tpu.ops.spmm import _CHUNK   # panel_ptr is in _CHUNK units
+from distgcn_tpu.ops.spmm import _unpack_bits
 
 
 def _fused_layer_kernel(row_ptr_ref, blk_cols_ref, ind_hbm, x_hbm, r_hbm,
                         w1_ref, w01_ref, bias_ref, o_ref,
                         ibuf, xbuf, rbuf, hbuf, rrow, acc,
                         sem_i, sem_x, sem_r, sem_h, sem_rr,
-                        *, bs, act_mode):
+                        *, bs, act_mode, bitmap=False):
     """One block-ROW of the fused layer per grid step (see module doc)."""
     rblk = pl.program_id(0)
     start = row_ptr_ref[rblk]
@@ -107,9 +108,11 @@ def _fused_layer_kernel(row_ptr_ref, blk_cols_ref, ind_hbm, x_hbm, r_hbm,
         dma_r(slot, k).wait()
         # Ind @ (r ⊙ x) == (Ind @ diag(r_col)) @ x: scale the indicator's
         # COLUMNS by the lane-layout r (r lives as [1, n] like the LGS x —
-        # Mosaic rejects [n, 1] HBM slices), fold into the int8 -> f32 cast
-        # (no direct i8 compare/select — Mosaic; see ops/lgs_pallas.py)
-        inds = ibuf[slot].astype(jnp.float32) * rbuf[slot]     # [bs, bs]
+        # Mosaic rejects [n, 1] HBM slices), fold into the int8/bitmap ->
+        # f32 cast (no direct i8 compare/select — Mosaic; lgs_pallas.py)
+        ind = (_unpack_bits(ibuf[slot], bs, jnp.float32) if bitmap
+               else ibuf[slot].astype(jnp.float32))
+        inds = ind * rbuf[slot]                                # [bs, bs]
         acc[...] += jnp.dot(inds.astype(jnp.bfloat16), xbuf[slot],
                             preferred_element_type=jnp.float32)
         return 0
@@ -143,23 +146,29 @@ def _fused_layer_kernel(row_ptr_ref, blk_cols_ref, ind_hbm, x_hbm, r_hbm,
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "block_size",
                                              "act_mode", "out_dtype",
-                                             "interpret"))
+                                             "interpret", "bitmap"))
 def _fused_cheb_layer(ind_vals, row_ptr, blk_cols, x, r, w1, w01, bias,
                       n_rows: int, block_size: int, act_mode: int,
-                      out_dtype=jnp.bfloat16, interpret: bool = False):
+                      out_dtype=jnp.bfloat16, interpret: bool = False,
+                      bitmap: bool = False):
     """One fused ChebGCN layer (K=1).
 
-    ind_vals: [nb, bs, bs] int8 0/1 structure blocks (blk sorted by row;
-    every block-row non-empty — BsrMatrix.from_scipy guarantees both).
+    ind_vals: [nb, bs, bs] int8 0/1 structure blocks — or, with
+    ``bitmap=True``, [nb, bs//32, bs] int32 bitmap blocks
+    (`ops.spmm.pack_bits_blocks` layout; 1 bit/cell, 8x less stream).
+    Blocks sorted by row; every block-row non-empty —
+    BsrMatrix.from_scipy guarantees both.
     x: [n_rows, F] bf16 activations. r: [1, n_rows] f32 = deg^-1/2.
     w1/w01: [F, F] f32 (W01 = W0 + W1). bias: [1, F] f32.
     Returns [n_rows, F] out_dtype.
     """
-    nb, bs, _ = ind_vals.shape
+    nb = ind_vals.shape[0]
+    bs = block_size
     f = x.shape[1]
     assert x.shape[0] == n_rows and r.shape == (1, n_rows), (x.shape, r.shape)
     assert f % 128 == 0, f
     nr = n_rows // bs
+    ishape = (2, bs // 32, bs) if bitmap else (2, bs, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nr,),
@@ -173,7 +182,7 @@ def _fused_cheb_layer(ind_vals, row_ptr, blk_cols, x, r, w1, w01, bias,
         ],
         out_specs=pl.BlockSpec((bs, f), lambda i, rp, bc: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bs, bs), jnp.int8),
+            pltpu.VMEM(ishape, ind_vals.dtype),
             pltpu.VMEM((2, bs, f), jnp.bfloat16),
             pltpu.VMEM((2, 1, bs), jnp.float32),
             pltpu.VMEM((bs, f), jnp.bfloat16),
@@ -186,14 +195,17 @@ def _fused_cheb_layer(ind_vals, row_ptr, blk_cols, x, r, w1, w01, bias,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    blk_bytes = (bs * bs // 8) if bitmap else bs * bs
     return pl.pallas_call(
-        functools.partial(_fused_layer_kernel, bs=bs, act_mode=act_mode),
+        functools.partial(_fused_layer_kernel, bs=bs, act_mode=act_mode,
+                          bitmap=bitmap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, f), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * bs * bs * f + 4 * n_rows * f * f,
-            bytes_accessed=nb * (bs * bs + 2 * bs * f) + 2 * n_rows * f * 4,
+            bytes_accessed=nb * (blk_bytes + 2 * bs * f)
+            + 2 * n_rows * f * 4,
             transcendentals=0),
     )(row_ptr, blk_cols, ind_vals, x, r, w1, w01, bias)
 
@@ -203,7 +215,7 @@ def _fused_panel_kernel(panel_ptr_ref, win_start_ref, blk_rows_ref,
                         w1_ref, w01_ref, bias_ref, o_ref,
                         xwin, rwin, ibuf, acc, sem_x, sem_r, sem_i,
                         *, bs, chunk, panel_rows, win_blocks, nr_b,
-                        act_mode):
+                        act_mode, bitmap=False):
     """Panel-grid fused layer: one slab of `panel_rows` block-rows per grid
     step. The panel's x/r windows and f32 accumulator live in VMEM for the
     whole panel; int8 indicator blocks stream in [chunk, bs, bs] slabs with
@@ -247,9 +259,10 @@ def _fused_panel_kernel(panel_ptr_ref, win_start_ref, blk_rows_ref,
             b = (c0 + c) * chunk + j
             lrow = blk_rows_ref[b] - p * panel_rows
             lcol = blk_cols_ref[b] - ws
-            # Ind @ diag(r_col): fold the col scaling into the int8 cast
-            inds = (ibuf[slot, j].astype(jnp.float32)
-                    * rwin[:, pl.ds(lcol * bs, bs)])          # [bs, bs]
+            # Ind @ diag(r_col): fold the col scaling into the cast
+            ind = (_unpack_bits(ibuf[slot, j], bs, jnp.float32) if bitmap
+                   else ibuf[slot, j].astype(jnp.float32))
+            inds = ind * rwin[:, pl.ds(lcol * bs, bs)]        # [bs, bs]
             prod = jnp.dot(inds.astype(jnp.bfloat16),
                            xwin[pl.ds(lcol * bs, bs), :],
                            preferred_element_type=jnp.float32)
@@ -289,16 +302,19 @@ def _fused_panel_kernel(panel_ptr_ref, win_start_ref, blk_rows_ref,
 @functools.partial(jax.jit, static_argnames=("n_rows", "block_size",
                                              "panel_rows", "win_blocks",
                                              "n_panels", "act_mode",
-                                             "out_dtype", "interpret"))
+                                             "out_dtype", "interpret",
+                                             "bitmap"))
 def _fused_cheb_layer_panels(ind_vals, panel_ptr, win_start, blk_rows,
                              blk_cols, x, r, w1, w01, bias, n_rows: int,
                              block_size: int, panel_rows: int,
                              win_blocks: int, n_panels: int, act_mode: int,
-                             out_dtype=jnp.bfloat16, interpret: bool = False):
-    """One fused ChebGCN layer (K=1) over a `ops.spmm.bsr_panels` stream.
-    Same contract as `_fused_cheb_layer`; preferred when the panel windows
-    fit VMEM (`panels_fit_vmem`)."""
-    nb, bs, _ = ind_vals.shape
+                             out_dtype=jnp.bfloat16, interpret: bool = False,
+                             bitmap: bool = False):
+    """One fused ChebGCN layer (K=1) over a `ops.spmm.bsr_panels` stream
+    (int8 or bitmap-packed). Same contract as `_fused_cheb_layer`;
+    preferred when the panel windows fit VMEM (`panels_fit_vmem`)."""
+    nb = ind_vals.shape[0]
+    bs = block_size
     f = x.shape[1]
     assert x.shape[0] == n_rows and r.shape == (1, n_rows), (x.shape, r.shape)
     assert f % 128 == 0, f
@@ -319,23 +335,25 @@ def _fused_cheb_layer_panels(ind_vals, panel_ptr, win_start, blk_rows,
         scratch_shapes=[
             pltpu.VMEM((win_blocks * bs, f), jnp.bfloat16),   # x window
             pltpu.VMEM((1, win_blocks * bs), jnp.float32),    # r window
-            pltpu.VMEM((2, _CHUNK, bs, bs), jnp.int8),
+            pltpu.VMEM((2, _CHUNK, bs // 32, bs) if bitmap
+                       else (2, _CHUNK, bs, bs), ind_vals.dtype),
             pltpu.VMEM((panel_rows * bs, f), jnp.float32),    # acc
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    blk_bytes = (bs * bs // 8) if bitmap else bs * bs
     out = pl.pallas_call(
         functools.partial(_fused_panel_kernel, bs=bs, chunk=_CHUNK,
                           panel_rows=panel_rows, win_blocks=win_blocks,
-                          nr_b=nr_b, act_mode=act_mode),
+                          nr_b=nr_b, act_mode=act_mode, bitmap=bitmap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nr_pad * bs, f), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * bs * bs * f + 4 * n_rows * f * f,
-            bytes_accessed=nb * bs * bs
+            bytes_accessed=nb * blk_bytes
             + n_panels * win_blocks * bs * (2 * f + 4) + 2 * n_rows * f,
             transcendentals=0),
     )(panel_ptr, win_start, blk_rows, blk_cols, ind_vals, x, r, w1, w01,
@@ -344,12 +362,13 @@ def _fused_cheb_layer_panels(ind_vals, panel_ptr, win_start, blk_rows,
 
 
 def panels_fit_vmem(panel_rows: int, bs: int, win_blocks: int,
-                    f: int) -> bool:
+                    f: int, bitmap: bool = False) -> bool:
     """VMEM residents of `_fused_cheb_layer_panels`: x window (bf16) + r
-    window + int8 chunk double-buffer + f32 accumulator + double-buffered
-    output panel."""
+    window + block chunk double-buffer (int8, or 8x smaller bitmap) + f32
+    accumulator + double-buffered output panel."""
+    blk = (bs * bs // 8) if bitmap else bs * bs
     return (win_blocks * bs * f * 2 + 8 * win_blocks * bs * 4
-            + 2 * _CHUNK * bs * bs + panel_rows * bs * f * (4 + 2 * 2)
+            + 2 * _CHUNK * blk + panel_rows * bs * f * (4 + 2 * 2)
             ) <= 12 * 1024 * 1024
 
 
@@ -380,7 +399,7 @@ def fused_forward(ind_vals, row_ptr, blk_cols, r, params_list, feats,
                   final_act_mode: int = 0, interpret: bool = False,
                   blk_rows=None, panel_ptr=None, win_start=None,
                   panel_rows: int = 0, win_blocks: int = 0,
-                  n_panels: int = 0) -> jnp.ndarray:
+                  n_panels: int = 0, bitmap: bool = False) -> jnp.ndarray:
     """L-layer fused ChebGCN forward (K=1): leaky_relu(0.2) hidden layers,
     final layer act per ``final_act_mode`` (0=identity — GCN_DQN,
     gcn/models.py:487-575; 1=leaky_relu — GCN2_DQN final_act_same). feats:
@@ -392,7 +411,8 @@ def fused_forward(ind_vals, row_ptr, blk_cols, r, params_list, feats,
     otherwise the row-grid kernel.
     """
     use_panels = (panel_ptr is not None
-                  and panels_fit_vmem(panel_rows, block_size, win_blocks, f))
+                  and panels_fit_vmem(panel_rows, block_size, win_blocks, f,
+                                      bitmap=bitmap))
     h = jnp.pad(feats, ((0, 0), (0, f - feats.shape[1]))).astype(jnp.bfloat16)
     r = r.reshape(1, -1)    # kernel wants the lane layout
     nl = len(params_list)
@@ -406,10 +426,10 @@ def fused_forward(ind_vals, row_ptr, blk_cols, r, params_list, feats,
                 ind_vals, panel_ptr, win_start, blk_rows, blk_cols, h, r,
                 p["w1"], p["w01"], p["bias"], n_rows, block_size,
                 panel_rows, win_blocks, n_panels, act_mode=act_mode,
-                out_dtype=out_dtype, interpret=interpret)
+                out_dtype=out_dtype, interpret=interpret, bitmap=bitmap)
         else:
             h = _fused_cheb_layer(
                 ind_vals, row_ptr, blk_cols, h, r, p["w1"], p["w01"],
                 p["bias"], n_rows, block_size, act_mode=act_mode,
-                out_dtype=out_dtype, interpret=interpret)
+                out_dtype=out_dtype, interpret=interpret, bitmap=bitmap)
     return h[:, :params_list[-1]["w_0"].shape[1]]
