@@ -112,6 +112,7 @@ class MWISSolver:
         self.model = make_model_from_config(flags, model_family)
         self.feature_mode = "gdpg"
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
         self._init_params(jax.random.PRNGKey(seed))
         self.opt_state = None  # set by trainer
 

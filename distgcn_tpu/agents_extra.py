@@ -304,9 +304,13 @@ class DiverAgent(MWISSolver):
     def _bsf_eval_fn(self):
         """ONE jitted launch per pop batch: GCN forward, per-head in-IS
         softmax, head-guided weights, and all Q x diver_num LGS completions
-        (the host-split version paid two tunnel round-trips per batch)."""
+        (the host-split version paid two tunnel round-trips per batch).
+        The completions run through `batched_lgs_multi` — one adjacency per
+        subgraph shared by all diver heads, instead of the materialized
+        [Q*D, N, N] `jnp.repeat` that dominated the launch at diver32."""
         if not hasattr(self, "_bsf_eval"):
             from distgcn_tpu.agents import build_state_arrays
+            from distgcn_tpu.ops.lgs import batched_lgs_multi
             model, flags, fmode = self.model, self.flags, self.feature_mode
             d = flags.diver_num
 
@@ -322,11 +326,8 @@ class DiverAgent(MWISSolver):
                 probs = jax.nn.softmax(heads, axis=-1)[..., 1]   # [Q,Np,D]
                 guided = (jnp.transpose(probs, (0, 2, 1))
                           * wts[:, None, :])                 # [Q, D, Np]
-                adj_rep = jnp.repeat(adj, d, axis=0)
-                mask_rep = jnp.repeat(mask, d, axis=0)
-                sel, _, _ = batched_lgs(
-                    adj_rep, guided.reshape(qn * d, npad), mask_rep)
-                return sel.reshape(qn, d, npad), probs
+                sel, _, _ = batched_lgs_multi(adj, guided, mask)
+                return sel, probs
 
             self._bsf_eval = ev
         return self._bsf_eval
@@ -388,10 +389,13 @@ class DiverAgent(MWISSolver):
         amortized across graphs, not just across one graph's pops.
 
         Per-graph search semantics are identical to `solve_mwis_bsf` (same
-        heap order, same children); only the shared-RNG draw order differs
-        from running the instances sequentially. Finished searches retire
-        and the next instance takes their slot, so the device batch stays
-        full until the tail. insts: list of (adj, wts); returns a list of
+        heap order, same children). Each instance gets its OWN backoff RNG
+        seeded (agent seed, instance index), so per-instance results are
+        bit-reproducible regardless of group size or lockstep interleaving
+        — quality deltas between runs are real, not draw-order noise
+        (VERDICT r3 weak #5). Finished searches retire and the next
+        instance takes their slot, so the device batch stays full until
+        the tail. insts: list of (adj, wts); returns a list of
         (set, util) in input order.
         """
         import time as _time
@@ -407,7 +411,8 @@ class DiverAgent(MWISSolver):
                 i = todo.pop(0)
                 active.append((i, _BsfSearch(
                     insts[i][0], insts[i][1], max_pops, batch_pops,
-                    noout, backoff, self._rng)))
+                    noout, backoff,
+                    np.random.default_rng((getattr(self, "_seed", 0), i)))))
             batches = []
             subs, wl = [], []
             for _, s in active:
