@@ -49,6 +49,14 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
                        help=">0: TPU-native batched training — solve "
                             "device_batch graphs per launch instead of the "
                             "reference's one-graph-at-a-time loop")
+    extra.add_argument("--model_family", default="gcn2_dqn",
+                       choices=["gcn2_dqn", "gcn_dqn"],
+                       help="gcn2_dqn = GCN2_DQN (GDPG agent's model, "
+                            "mwis_gdpg_call.py:666-669); gcn_dqn = "
+                            "GCN_DQN (the flag-driven family the "
+                            "reference's IS4SAT zoo checkpoints use) — "
+                            "lets the trainer fine-tune imported zoo "
+                            "checkpoints in-architecture")
     extra.add_argument("--start_epoch", type=int, default=0,
                        help="resume the 25-epoch recipe at this epoch with "
                             "the reference's epsilon-reset schedule state "
@@ -63,7 +71,8 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
 
     model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     if agent is None:
-        agent = DQNAgent(cfg, model_family="gcn2_dqn")
+        agent = DQNAgent(cfg, model_family=getattr(
+            ns, "model_family", "gcn2_dqn"))
     agent.load(model_origin)
 
     train_files = list_dataset(cfg.datapath)
@@ -150,7 +159,8 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
 
     model_origin = find_model_folder(cfg, "dqn", ns.model_root)
     if agent is None:
-        agent = DQNAgent(cfg, model_family="gcn2_dqn")
+        agent = DQNAgent(cfg, model_family=getattr(
+            ns, "model_family", "gcn2_dqn"))
     if getattr(ns, "target_style", "gdpg") != "gdpg":
         agent.trainer.style = ns.target_style
     agent.load(model_origin)

@@ -76,9 +76,13 @@ class ShardedLargeGraph:
     rptr: np.ndarray
     cols: np.ndarray
     mask: np.ndarray  # [n_pad] bool
-    # int8 0/1 structure panels [D, D, nb_max, bs, bs]: the LGS
-    # neighbor-max operand AND (separable graphs) the SpMM operand
+    # 0/1 structure panels: the LGS neighbor-max operand AND (separable
+    # graphs) the SpMM operand. int8 [D, D, nb_max, bs, bs] — or, when
+    # bs % 32 == 0 (production block sizes), bitmap-packed int32
+    # [D, D, nb_max, bs//32, bs] (`ops.spmm.pack_bits_blocks` layout,
+    # 1 bit/cell: 8x less ring-step block traffic and HBM footprint)
     ind: np.ndarray = None
+    bitmap: bool = False
     # r = deg^-1/2 per node [n_pad] f32 (Anorm = diag(r) A diag(r), exact
     # for 0/1 adjacencies — gcn/utils.py:120-128 separated)
     r: Optional[np.ndarray] = None
@@ -100,7 +104,8 @@ class ShardedLargeGraph:
         fused path's equivalent accounting is bench.py's
         `large_bytes_per_edge` (~54 at N=65k)."""
         bs = self.block_size
-        blocks = self.nnz_blocks * bs * bs * (1 if self.separable else 4)
+        cell_bytes = (0.125 if self.bitmap else 1) if self.separable else 4
+        blocks = self.nnz_blocks * bs * bs * cell_bytes
         acts = self.d * self.n_pad * f * 4 * 2   # z in + acc rmw per step
         return n_layers * (blocks + acts) / max(nnz, 1)
 
@@ -141,9 +146,19 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
     u_lbr = (uniq // nr_loc) % nr_loc
     u_lbc = uniq % nr_loc
     cols[u_pr, u_ps, pos_in_panel] = u_lbc.astype(np.int32)
-    ind = np.zeros((d, d, nb_max, bs, bs), np.int8)
-    ind[u_pr[inv], u_ps[inv], pos_in_panel[inv],
-        anorm.row % bs, anorm.col % bs] = 1
+    bitmap = bs % 32 == 0
+    if bitmap:
+        # pack straight from COO — never materialize the int8 panels
+        ind = np.zeros((d, d, nb_max, bs // 32, bs), np.uint32)
+        lr = (anorm.row % bs).astype(np.uint32)
+        np.bitwise_or.at(
+            ind, (u_pr[inv], u_ps[inv], pos_in_panel[inv], lr // 32,
+                  anorm.col % bs), np.uint32(1) << (lr % 32))
+        ind = ind.view(np.int32)
+    else:
+        ind = np.zeros((d, d, nb_max, bs, bs), np.int8)
+        ind[u_pr[inv], u_ps[inv], pos_in_panel[inv],
+            anorm.row % bs, anorm.col % bs] = 1
     vals = None
     if value_blocks:
         vals = np.zeros((d, d, nb_max, bs, bs), dtype=block_dtype)
@@ -167,8 +182,9 @@ def shard_large_graph(adj, n_devices: int, block_size: int = 512,
         r[:n] = rv
     return ShardedLargeGraph(n=n, n_pad=n_pad, n_loc=n_pad // d, d=d,
                              block_size=bs, nb_max=nb_max, rptr=rptr,
-                             cols=cols, mask=mask, ind=ind, r=r, vals=vals,
-                             separable=separable, interpret=interpret)
+                             cols=cols, mask=mask, ind=ind, bitmap=bitmap,
+                             r=r, vals=vals, separable=separable,
+                             interpret=interpret)
 
 
 def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
@@ -188,6 +204,7 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
     n_loc = graph.n_loc
     bs, interp = graph.block_size, graph.interpret
     separable = graph.separable
+    bmp = graph.bitmap
     final_act = leaky_relu02 if final_act_same else identity
     hp = jax.lax.Precision.HIGHEST
 
@@ -214,13 +231,14 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
             _, acc = jax.lax.fori_loop(0, d, step, (x_loc, init))
             return acc
 
-        def spmm_panel_blocks(blocks):
+        def spmm_panel_blocks(blocks, blocks_bitmap):
             def op(acc, src, shard):
                 v = jax.lax.dynamic_index_in_dim(blocks, src, keepdims=False)
                 rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
                 c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
                 return acc + spmm_mod._bsr_spmm_rows(v, rp, c, shard, n_loc,
-                                                     bs, interpret=interp)
+                                                     bs, interpret=interp,
+                                                     bitmap=blocks_bitmap)
             return op
 
         def nbrmax_panel(acc, src, shard):
@@ -230,7 +248,7 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
             rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
             return jnp.maximum(acc, spmm_mod._bsr_nbr_max_rows(
-                v, rp, c, shard, n_loc, bs, interpret=interp))
+                v, rp, c, shard, n_loc, bs, interpret=interp, bitmap=bmp))
 
         def nbrmax_panel_i32(acc, src, shard):
             # rank transport rides int32 (exact to n < 2^31; f32 ranks
@@ -239,7 +257,7 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
             rp = jax.lax.dynamic_index_in_dim(rptr, src, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cols, src, keepdims=False)
             return jnp.maximum(acc, spmm_mod._bsr_nbr_max_rows_i32(
-                v, rp, c, shard, n_loc, bs, interpret=interp))
+                v, rp, c, shard, n_loc, bs, interpret=interp, bitmap=bmp))
 
         def anorm_spmm(y):
             # pad lanes to 128 for the kernel (head layer F < 128)
@@ -252,7 +270,8 @@ def make_sharded_large_solve(mesh: Mesh, graph: ShardedLargeGraph,
                 y = y * r_loc[:, None]
             if fp != f:
                 y = jnp.pad(y, ((0, 0), (0, fp - f)))
-            op = spmm_panel_blocks(ind if separable else vals)
+            op = spmm_panel_blocks(ind if separable else vals,
+                                   bmp if separable else False)
             out = ring_reduce(y, op, jnp.zeros((n_loc, y.shape[1]),
                                                jnp.float32))
             if fp != f:

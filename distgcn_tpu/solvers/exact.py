@@ -547,12 +547,19 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
 
       1. short native B&B pass (closes easy instances; its ILS supplies a
          strong incumbent either way);
-      2. root cutting-plane LP (`mwis_root_duals`) — if its proven upper
-         bound already meets the incumbent, optimality is certified with no
-         tree search at all;
-      3. reduced-cost fixing: drop every vertex whose LP reduced cost
+      2. with a generous budget (>= 600 s): hand the remaining budget to
+         the HiGHS MILP (`mwis_milp`). Round-4 calibration on the hard
+         GEN21_test2 tail (ER n250 p0.06 b0, where Gurobi needed 84 s):
+         the clique-cover B&B and the odd-cycle cut prover both exhaust
+         900-1800 s, while plain HiGHS proves it in ~550 s — the
+         edge-formulation MILP's cut/branching machinery is the strongest
+         arm on the sparse tail, exactly as the reference's Gurobi was;
+      3. otherwise: root cutting-plane LP (`mwis_root_duals`) — if its
+         proven upper bound already meets the incumbent, optimality is
+         certified with no tree search at all;
+      4. reduced-cost fixing: drop every vertex whose LP reduced cost
          pushes any solution containing it below the incumbent;
-      4. native B&B over the (often much smaller) residue, warm-started,
+      5. native B&B over the (often much smaller) residue, warm-started,
          pruning with the static dual pool at every node.
     """
     import time as _time
@@ -565,6 +572,17 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
     sel1, util, status = mwis_exact(a, w, t_bnb)
     if status == "Optimal":
         return sel1, util, status
+    if timeout >= 600.0:
+        remain = max(timeout - (_time.time() - t0), 1.0)
+        sel_m, util_m, st_m = mwis_milp(a, w, remain)   # 0/1 vector
+        if verbose:
+            print(f"[prove] milp arm: util={util_m:.6f} {st_m} "
+                  f"t={_time.time() - t0:.1f}s", flush=True)
+        if st_m == "Optimal" and util_m >= util - 1e-9:
+            return np.nonzero(sel_m)[0], util_m, st_m
+        if util_m > util:                               # keep best primal
+            return np.nonzero(sel_m)[0], util_m, "Timeout"
+        return sel1, util, "Timeout"
     best_sel = np.zeros(n, np.int8)
     best_sel[np.asarray(sel1, np.int64)] = 1
     cons = mwis_root_duals(a, w, time_budget=min(timeout * 0.15, 60.0)) \

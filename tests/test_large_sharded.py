@@ -78,6 +78,26 @@ def test_sharded_matches_single_chip_fused_panels(mesh8):
     assert np.isclose(util, float(utilf), rtol=1e-3)
 
 
+def test_sharded_bitmap_panels_match_int8(mesh8):
+    """block_size % 32 == 0 packs the panels bitmap (1 bit/cell); results
+    must be bit-equal to the int8 panel stream (same 0/1 operand)."""
+    adj, wts, _ = geometric_conflict_graph(700, avg_degree=9.0, seed=61)
+    plist = [{"w_0": jnp.full((1, 1), 0.3), "w_1": jnp.full((1, 1), 0.9),
+              "bias": jnp.full((1,), 0.05)}]
+    sg_b = shard_large_graph(adj, 8, block_size=32, interpret=True)
+    assert sg_b.bitmap and sg_b.ind.dtype == np.int32
+    sel_b, util_b = _run_sharded(mesh8, sg_b, plist, wts)
+
+    sg_8 = shard_large_graph(adj, 8, block_size=8, interpret=True)
+    assert not sg_8.bitmap
+    sel_8, util_8 = _run_sharded(mesh8, sg_8, plist, wts)
+    assert np.array_equal(sel_b, sel_8)
+    assert np.isclose(util_b, util_8, rtol=1e-6)
+    # bitmap block stream is 8x lighter in the accounting
+    assert sg_b.bytes_per_edge(adj.nnz, f=0) < sg_b.nnz_blocks * 32 * 32 \
+        / adj.nnz
+
+
 def test_sharded_value_panel_fallback_weighted_adj(mesh8):
     """Non-0/1 adjacency: normalization is not separable, so the sharded
     path falls back to value panels and still matches the ELL path."""
@@ -128,4 +148,6 @@ def test_sharded_bytes_per_edge_accounting():
     sgv = shard_large_graph(adj, 4, block_size=64, interpret=True,
                             value_blocks=True)
     sgv.separable = False
-    assert sgv.bytes_per_edge(adj.nnz, f=0) == 4 * bpe
+    # bitmap separable stream (1 bit/cell) vs f32 value panels = 32x
+    assert sg.bitmap
+    assert sgv.bytes_per_edge(adj.nnz, f=0) == 32 * bpe
