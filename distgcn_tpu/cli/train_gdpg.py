@@ -28,6 +28,16 @@ from distgcn_tpu.utils.config import Config
 from distgcn_tpu.utils.directory import find_model_folder
 
 
+EPSILON_RESETS = frozenset({5, 10, 15, 20})
+
+
+def schedule_epsilon(start_epoch: int) -> float:
+    """Epsilon-reset schedule state at `start_epoch` of the 25-epoch
+    recipe: x0.2 applied after epochs {5, 10, 15, 20}
+    (mwis_gdpg_train.py:77,175-177)."""
+    return 0.2 ** sum(1 for r in EPSILON_RESETS if r <= start_epoch)
+
+
 def main(argv=None, agent=None, max_graphs_per_epoch=None):
     cfg = Config.from_args(argv)
     import argparse
@@ -81,13 +91,12 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
                   for f in test_files]
 
     rng = np.random.default_rng(cfg.seed)
-    epsilon_reset = {5, 10, 15, 20}
+    epsilon_reset = EPSILON_RESETS
     epsilon_val = 1.0
     if ns.start_epoch:
         # restore the reset-schedule state and keep the shuffle stream
         # aligned with the epochs already trained
-        epsilon_val = 0.2 ** sum(1 for rr in epsilon_reset
-                                 if rr <= ns.start_epoch)
+        epsilon_val = schedule_epsilon(ns.start_epoch)
         agent.epsilon = epsilon_val
         for _ in range(ns.start_epoch):
             rng.permutation(len(train_files))
@@ -179,12 +188,11 @@ def main_batched(cfg, ns, agent=None, max_graphs_per_epoch=None):
           f"in {time.time() - t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(cfg.seed)
-    epsilon_reset = {5, 10, 15, 20}
+    epsilon_reset = EPSILON_RESETS
     epsilon_val = 1.0
     start_epoch = getattr(ns, "start_epoch", 0)
     if start_epoch:
-        epsilon_val = 0.2 ** sum(1 for rr in epsilon_reset
-                                 if rr <= start_epoch)
+        epsilon_val = schedule_epsilon(start_epoch)
         agent.epsilon = epsilon_val
         for _ in range(start_epoch):
             rng.permutation(len(adjs))

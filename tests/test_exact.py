@@ -142,3 +142,24 @@ def test_milp_cross_validates_native_bnb(rng):
         assert abs(u1 - u2) < 1e-9 * max(1.0, u1)
         ch = np.nonzero(sel == 1)[0]
         assert a[np.ix_(ch, ch)].nnz == 0
+
+
+def test_prove_milp_arm_closes_small(rng):
+    """mwis_prove with a >= 600 s budget routes the remaining budget to
+    the HiGHS MILP arm (round-4 portfolio; calibrated on the GEN21_test2
+    hard tail where it closes instances the native B&B cannot). On a small
+    instance either arm must return the brute-force optimum."""
+    import numpy as np
+    import scipy.sparse as sp
+    from distgcn_tpu.solvers.exact import mwis_prove, mwis_milp
+
+    n = 24
+    a = (rng.random((n, n)) < 0.25)
+    a = np.triu(a, 1)
+    adj = sp.csr_matrix((a + a.T).astype(float))
+    w = rng.random(n)
+    sel, util, status = mwis_prove(adj, w, timeout=600.0)
+    assert status == "Optimal"
+    _, util_m, st_m = mwis_milp(adj, w, 60.0)
+    assert st_m == "Optimal"
+    assert abs(util - util_m) < 1e-8

@@ -102,3 +102,17 @@ def test_bfloat16_mode_quality_close_to_f32(rng):
         utils, gutils = ev.evaluate(inst)
         res[dt] = np.sum(utils) / np.sum(gutils)
     assert abs(res["bfloat16"] - res["float32"]) < 0.005
+
+
+def test_start_epoch_schedule_restoration():
+    """--start_epoch restores the reference epsilon-reset schedule state
+    (mwis_gdpg_train.py:77,175-177: epsilon_val = 0.2^|{r in {5,10,15,20}:
+    r <= start}|), not a fresh low epsilon."""
+    from distgcn_tpu.cli.train_gdpg import schedule_epsilon
+
+    assert schedule_epsilon(0) == 1.0
+    assert schedule_epsilon(4) == 1.0
+    assert schedule_epsilon(5) == 0.2
+    assert schedule_epsilon(10) == 0.2 ** 2
+    assert schedule_epsilon(14) == 0.2 ** 2
+    assert schedule_epsilon(20) == 0.2 ** 4
