@@ -282,3 +282,25 @@ def test_sequential_slot_matches_host_sequential(rng):
             * (sel == 1).astype(jnp.float32)
         q_est = q_est - drain
     assert got == mwis_host
+
+
+def test_closed_loop_bfloat16_matches_f32_quality(rng):
+    """compute_dtype='bfloat16' (the bench's production episode dtype)
+    must track the f32 loop's utility metrics closely — measured on TPU
+    the per-slot utility ratio is identical to 3e-5; on CPU we assert a
+    loose bound plus basic sanity (bf16 rank flips can shift individual
+    schedules, so only aggregate metrics are compared)."""
+    import dataclasses
+    gb, _ = _batch(rng, b=4, n=30, pad=32)
+    agent, cfg = _agent(32)
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg_d = dataclasses.replace(cfg, compute_dtype=dt)
+        run = device_sim.make_closed_loop(agent.model, cfg_d, timeslots=50,
+                                          load=0.5, with_baseline=True)
+        b, n = gb.wts.shape
+        qT, metrics = run(agent.params, gb.adj, gb.mask,
+                          jnp.zeros((b, n)), jax.random.PRNGKey(0))
+        assert np.all(np.asarray(qT) >= 0)
+        outs[dt] = float(np.mean(np.asarray(metrics["avg_utility_ratio"])))
+    assert abs(outs["bfloat16"] - outs["float32"]) < 0.02, outs
