@@ -32,14 +32,54 @@ from distgcn_tpu.agents import build_state_arrays
 from distgcn_tpu.core.graph import GraphBatch, pad_bucket
 
 
+def tf1_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+             eps: float = 1e-8):
+    """Bit-faithful `tf.compat.v1.train.AdamOptimizer` update rule.
+
+    TF1 Adam (unlike optax.adam, which adds eps to the bias-CORRECTED
+    sqrt(v_hat)) folds the bias corrections into the step size and adds eps
+    to the raw sqrt(v):
+
+        lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        p   -= lr_t * m_t / (sqrt(v_t) + eps)
+
+    The two differ by an effective eps factor of 1/sqrt(1-b2^t) — tiny, but
+    it is exactly the kind of residual the TF1 train-step golden fixtures
+    (tests/test_tf1_golden_train.py) are meant to rule out, so the replay
+    trainer uses the TF formulation. `learning_rate` may be a schedule
+    (callable of the 0-based update count, matching tf1 global_step
+    semantics: minimize() reads the step BEFORE incrementing it).
+    """
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"count": jnp.zeros([], jnp.int32), "m": z,
+                "v": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+    def update_fn(grads, state, params=None):
+        del params
+        lr = learning_rate(state["count"]) if callable(learning_rate) \
+            else learning_rate
+        m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                                   state["m"], grads)
+        v = jax.tree_util.tree_map(lambda v, g: b2 * v + (1.0 - b2) * g * g,
+                                   state["v"], grads)
+        t = (state["count"] + 1).astype(jnp.float32)
+        lr_t = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: -lr_t * m / (jnp.sqrt(v) + eps), m, v)
+        return updates, {"count": state["count"] + 1, "m": m, "v": v}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(learning_rate: float, learning_decay: float = 1.0):
-    """Adam with the reference's staircase exponential decay
+    """TF1-exact Adam with the reference's staircase exponential decay
     (gcn/models.py:602-609: decay every 5000 steps)."""
     if learning_decay < 1.0:
         sched = optax.exponential_decay(learning_rate, 5000, learning_decay,
                                         staircase=True)
-        return optax.adam(sched)
-    return optax.adam(learning_rate)
+        return tf1_adam(sched)
+    return tf1_adam(learning_rate)
 
 
 class ReplayTrainer:
