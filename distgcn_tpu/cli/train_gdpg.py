@@ -94,8 +94,11 @@ def main(argv=None, agent=None, max_graphs_per_epoch=None):
     epsilon_reset = EPSILON_RESETS
     epsilon_val = 1.0
     if ns.start_epoch:
-        # restore the reset-schedule state and keep the shuffle stream
-        # aligned with the epochs already trained
+        # restore the reset-schedule state and burn the per-epoch shuffle
+        # draws. APPROXIMATE: an uninterrupted run also consumes rng
+        # entropy per graph (weight/explore draws), so resumed epochs see
+        # different orderings than a continuous run would — what matters
+        # for the recipe is the epsilon-schedule state, which is exact
         epsilon_val = schedule_epsilon(ns.start_epoch)
         agent.epsilon = epsilon_val
         for _ in range(ns.start_epoch):

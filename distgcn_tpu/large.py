@@ -167,12 +167,33 @@ def build_large_graph(adj, block_size: int = 512,
         ind = anorm.copy()
         ind.data[:] = 1.0    # structure only; n_pad stays the SpMM's
         ind.resize(n_pad, n_pad)
-        if bit_pack is None:
+        auto_pack = bit_pack is None
+        if auto_pack:
             bit_pack = ibs % 32 == 0
         g.bitmap = bool(bit_pack)
         g.panels = spmm_mod.bsr_panels(
             ind, ibs, dtype="bits" if g.bitmap else np.int8)
         g.ind_bsr = g.panels.bsr
+        if g.bitmap and auto_pack:
+            # bitmap streams only run on the chunk-/panel-grid kernels; on
+            # order-free graphs whose panels degenerate (huge win_blocks)
+            # neither fits VMEM and solve would raise — fall back to int8 +
+            # block-grid instead of failing later
+            fits = (spmm_mod._nbr_max_fits_vmem(
+                        g.ind_bsr.num_blocks, ibs, n_pad, n_pad, 0.125)
+                    or spmm_mod._nbr_max_panels_fit_vmem(
+                        g.panels.panel_rows, ibs, g.panels.win_blocks,
+                        0.125))
+            if not fits:
+                import warnings
+                warnings.warn(
+                    "bitmap panels do not fit the chunk- or panel-grid "
+                    "kernels (order-free graph?) — falling back to int8 "
+                    "structure blocks; locality-order the graph (RCM) to "
+                    "restore the bitmap path")
+                g.bitmap = False
+                g.panels = spmm_mod.bsr_panels(ind, ibs, dtype=np.int8)
+                g.ind_bsr = g.panels.bsr
         g.ind_row_ptr = bsr_row_ptr(g.ind_bsr)
     return g
 

@@ -315,7 +315,8 @@ def bsr_spmm_rows(s: BsrMatrix, x: jnp.ndarray,
     if x.shape[0] != s.n_cols:
         x = jnp.pad(x, ((0, s.n_cols - x.shape[0]), (0, 0)))
     return _bsr_spmm_rows(s.blk_vals, row_ptr, s.blk_cols, x, s.n_rows,
-                          s.block_size, interpret, precision)
+                          s.block_size, interpret, precision,
+                          bitmap=s.bitmap)
 
 
 def bsr_spmm_pallas(s: BsrMatrix, x: jnp.ndarray,
@@ -328,6 +329,9 @@ def bsr_spmm_pallas(s: BsrMatrix, x: jnp.ndarray,
     rows; `BsrMatrix.from_scipy` callers should ensure every block-row has at
     least one block (graph Laplacians do: the diagonal), or mask the result.
     """
+    if s.bitmap:
+        raise ValueError("bsr_spmm_pallas has no bitmap path — use "
+                         "bsr_spmm_rows for bitmap-packed matrices")
     if x.shape[0] != s.n_cols:
         x = jnp.pad(x, ((0, s.n_cols - x.shape[0]), (0, 0)))
     return _bsr_spmm(s.blk_vals, s.blk_rows, s.blk_cols, x, s.n_rows,
@@ -409,6 +413,10 @@ def bsr_neighbor_max(s: BsrMatrix, x: jnp.ndarray,
     block keep uninitialized output — graph Laplacian/adjacency callers pad
     every block-row or mask the result.
     """
+    if s.bitmap:
+        raise ValueError("bsr_neighbor_max has no bitmap path — use the "
+                         "row/chunk/panel-grid kernels (large.py dispatch) "
+                         "for bitmap-packed matrices")
     if x.shape[0] != s.n_cols:
         x = jnp.pad(x, (0, s.n_cols - x.shape[0]),
                     constant_values=_NEG_HUGE)

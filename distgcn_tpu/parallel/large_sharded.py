@@ -104,7 +104,8 @@ class ShardedLargeGraph:
         fused path's equivalent accounting is bench.py's
         `large_bytes_per_edge` (~54 at N=65k)."""
         bs = self.block_size
-        cell_bytes = (0.125 if self.bitmap else 1) if self.separable else 4
+        cell_bytes = (0.125 if self.bitmap else 1) if self.separable \
+            else self.vals.dtype.itemsize
         blocks = self.nnz_blocks * bs * bs * cell_bytes
         acts = self.d * self.n_pad * f * 4 * 2   # z in + acc rmw per step
         return n_layers * (blocks + acts) / max(nnz, 1)

@@ -580,9 +580,15 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
                   f"t={_time.time() - t0:.1f}s", flush=True)
         if st_m == "Optimal" and util_m >= util - 1e-9:
             return np.nonzero(sel_m)[0], util_m, st_m
-        if util_m > util:                               # keep best primal
-            return np.nonzero(sel_m)[0], util_m, "Timeout"
-        return sel1, util, "Timeout"
+        # keep the better primal, then fall through to the LP-certificate /
+        # rc-fixing / residue-B&B stages with whatever budget is left (the
+        # sweep drivers hand the MILP arm nearly all of it, but callers
+        # with a slack budget shouldn't lose stages 3-5 — ADVICE r4 #1)
+        if util_m > util:
+            util = util_m
+            sel1 = np.nonzero(sel_m)[0]
+        if timeout - (_time.time() - t0) < 30.0:
+            return sel1, util, "Timeout"
     best_sel = np.zeros(n, np.int8)
     best_sel[np.asarray(sel1, np.int64)] = 1
     cons = mwis_root_duals(a, w, time_budget=min(timeout * 0.15, 60.0)) \

@@ -206,3 +206,32 @@ def test_large_solve_bsr_interpret_matches_ell():
     s2 = make_large_solve(g_bsr)(plist, wpad)
     assert np.array_equal(np.asarray(s1[0]), np.asarray(s2[0]))
     assert np.isclose(float(s1[1]), float(s2[1]), rtol=1e-5)
+
+
+def test_bit_pack_auto_fallback_when_no_kernel_fits(monkeypatch):
+    """ADVICE r4 #3: auto bit_pack must fall back to int8 (warning, not a
+    solve-time ValueError) when neither the chunk- nor panel-grid kernel
+    fits VMEM — forced here by shrinking the budget."""
+    import warnings
+    from distgcn_tpu.ops import spmm as spmm_mod
+    from distgcn_tpu.large import build_large_graph
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    rows = rng.integers(0, n, 40000)
+    cols = rng.integers(0, n, 40000)
+    m = rows != cols
+    a = sp.coo_matrix((np.ones(m.sum(), np.float32),
+                       (rows[m], cols[m])), shape=(n, n))
+    a = ((a + a.T) != 0).astype(np.float32).tocsr()
+    monkeypatch.setattr(spmm_mod, "_VMEM_BUDGET", 64 * 1024)
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        g = build_large_graph(a, block_size=512, use_pallas=True)
+    assert g.bitmap is False
+    assert g.ind_bsr.blk_vals.dtype == np.int8
+    assert any("falling back" in str(w.message) for w in wlist)
+    # explicit bit_pack=True is the caller's choice: no silent downgrade
+    g2 = build_large_graph(a, block_size=512, use_pallas=True,
+                           bit_pack=True)
+    assert g2.bitmap is True
