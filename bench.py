@@ -215,8 +215,11 @@ def main():
                                        make_large_solve, params_to_list)
         from distgcn_tpu.models.gcn import ChebGCN
         nl_large = 20
+        # serpentine tile ordering: scale-invariant touched-block count
+        # (~41 cells/edge at 65k AND 262k vs RCM's 49/69 — large.py
+        # serpentine_order) and a bounded panel window
         ladj, lwts, _ = geometric_conflict_graph(65536, avg_degree=48.0,
-                                                 seed=0)
+                                                 seed=0, order="grid")
         lg = build_large_graph(ladj, block_size=512)
         larrs = graph_arrays(lg)
         lmodel = ChebGCN(num_layer=nl_large, hidden_dim=128, out_dim=1,

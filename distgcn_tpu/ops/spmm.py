@@ -723,6 +723,34 @@ class BsrPanels:
     n_panels: int
 
 
+def panel_window_width(s: sp.spmatrix, block_size: int,
+                       panel_rows: int) -> int:
+    """W that `bsr_panels(s, block_size, panel_rows)` would produce —
+    without building (or packing) the panels. Used by the panel-height
+    auto-tuner (`large.build_large_graph`): taller panels cut the x-window
+    re-read factor (n_panels * W) but widen W, so the caller probes several
+    heights against the VMEM fit checks and builds once."""
+    s = sp.csr_matrix(s)
+    bs = block_size
+    nr_b = -(-s.shape[0] // bs)
+    nc_b = -(-s.shape[1] // bs)
+    n_panels = -(-nr_b // panel_rows)
+    coo = s.tocoo()
+    keys = (coo.row // bs).astype(np.int64) * nc_b + coo.col // bs
+    uniq = np.unique(keys)
+    rows_u = (uniq // nc_b).astype(np.int64)
+    cols_u = (uniq % nc_b).astype(np.int64)
+    pan_of = rows_u // panel_rows
+    pids, starts = np.unique(pan_of, return_index=True)
+    min_c = np.minimum(np.minimum.reduceat(cols_u, starts),
+                       np.minimum(pids * panel_rows, nc_b - 1))
+    max_c = np.maximum(np.maximum.reduceat(cols_u, starts),
+                       np.minimum((pids + 1) * panel_rows, nc_b) - 1)
+    # empty panels (no blocks) still cover their own row range
+    w_own = panel_rows + 1
+    return int(max((max_c - min_c + 1).max(), min(w_own, nc_b)))
+
+
 def bsr_panels(s: sp.spmatrix, block_size: int = 512,
                panel_rows: int = 4, dtype=np.int8) -> BsrPanels:
     """Build a panel-aligned `BsrMatrix` (see `BsrPanels`) from scipy.

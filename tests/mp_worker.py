@@ -133,6 +133,40 @@ def main():
     assert set(np.nonzero(sel_full == 1)[0].tolist()) == ref_set
     print(f"[{pid}] sharded LGS OK", flush=True)
 
+    # ---- 4. giant-graph BITMAP panel solve (parallel/large_sharded) over
+    # the multi-process mesh vs the single-process ELL reference
+    from distgcn_tpu.large import (build_large_graph, make_large_solve,
+                                   geometric_conflict_graph)
+    from distgcn_tpu.parallel.large_sharded import (
+        make_sharded_large_solve, shard_large_graph, AXIS)
+
+    adj_l, wts_l, _ = geometric_conflict_graph(700, avg_degree=9.0, seed=61)
+    sg = shard_large_graph(adj_l, 8, block_size=32, interpret=True)
+    assert sg.bitmap and sg.separable, (sg.bitmap, sg.separable)
+    gmesh_l = dist.global_mesh((AXIS,))
+    plist = [{"w_0": jnp.full((1, 1), 0.3), "w_1": jnp.full((1, 1), 0.9),
+              "bias": jnp.full((1,), 0.05)}]
+
+    def shp(x):
+        return dist.host_to_global(gmesh_l, P(AXIS), np.asarray(x))
+
+    wpad = np.zeros(sg.n_pad, np.float32)
+    wpad[: sg.n] = wts_l
+    solve_l = make_sharded_large_solve(gmesh_l, sg)
+    sel_l, util_l2 = solve_l(shp(sg.ind), shp(sg.rptr), shp(sg.cols),
+                             shp(sg.r), plist, shp(wpad), shp(sg.mask))
+    sel_lf = dist.gather_global(sel_l)[: sg.n]
+    util_lf = float(dist.gather_global(util_l2).flatten()[0])
+
+    g1 = build_large_graph(adj_l, block_size=128, use_pallas=False)
+    s1 = make_large_solve(g1)
+    w1 = np.zeros(g1.n_pad, np.float32)
+    w1[: g1.n] = wts_l
+    sel1, util1, _ = s1(plist, jnp.asarray(w1))
+    assert np.array_equal(sel_lf, np.asarray(sel1)[: sg.n])
+    assert np.isclose(util_lf, float(util1), rtol=1e-5), (util_lf, util1)
+    print(f"[{pid}] sharded giant-graph bitmap solve OK", flush=True)
+
     print(f"[{pid}] WORKER_OK", flush=True)
 
 
