@@ -243,13 +243,23 @@ def main():
                 r, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
                 return r
 
-            np.asarray(many(larrs, plist, wj, K))  # compile
-            lt = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(many(larrs, plist, wj, K))
-                lt.append(time.perf_counter() - t0)
-            return min(lt) / K * 1000
+            # marginal cost from two scan lengths: a single-length
+            # total/K folds the tunnel dispatch+fetch round-trip into
+            # every solve (the RTT varies ~1-28 ms with tunnel weather,
+            # CLAUDE.md) — the two-length difference cancels it and
+            # reports the device-resident per-solve cost
+            k2 = 4 * K
+            np.asarray(many(larrs, plist, wj, K))    # compile
+            np.asarray(many(larrs, plist, wj, k2))
+            t = []
+            for k in (K, k2):
+                lt = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(many(larrs, plist, wj, k))
+                    lt.append(time.perf_counter() - t0)
+                t.append(min(lt))
+            return (t[1] - t[0]) / (k2 - K) * 1000
 
         ms_dqn = amortized_ms(make_large_solve(lg, predict="dqn"))
         ms_hoisted = amortized_ms(make_large_solve(lg))
