@@ -228,3 +228,58 @@ def test_label_instance_exact(rng):
     assert val >= vh - 1e-9  # exact label >= heuristic label
     ii = sorted(mwis)
     assert a[ii][:, ii].nnz == 0
+
+
+def test_resident_masked_eval_matches_subgraph_extraction(rng):
+    """The r5 device-resident masked evaluation must equal explicit
+    subgraph extraction: masked-degree supports == extracted-subgraph
+    supports (scattered), the GCN is permutation-equivariant, and the
+    guided-LGS (weight, -id) tie order is preserved under extraction."""
+    import jax.numpy as jnp
+    from distgcn_tpu.agents import build_state_arrays
+    from distgcn_tpu.core.graph import GraphBatch, pad_bucket
+    from distgcn_tpu.ops.lgs import batched_lgs_multi
+
+    cfg = small_cfg(num_layer=2, diver_num=3, hidden1=4)
+    agent = DiverAgent(cfg, seed=1)
+    a = random_graph(rng, 40, 0.15)
+    n = a.shape[0]
+    w = rng.random(n).astype(np.float32) + 0.1
+    keep = rng.random(n) < 0.6                 # a partial state's remainder
+    keep[:2] = True
+    bucket = pad_bucket(n, cfg.pad_to)
+
+    # resident masked path
+    adjs_dev = agent._resident_adjs([a], bucket)
+    masks = np.zeros((1, bucket), np.float32)
+    masks[0, np.nonzero(keep)[0]] = 1.0
+    wfull = np.zeros(bucket, np.float32)
+    wfull[:n] = w
+    sels, probs = agent._eval_heads_resident(
+        adjs_dev, np.zeros(1, np.int32), masks, masks * wfull[None], [n])
+    sel_r, probs_r = sels[0], probs[0]
+
+    # explicit extraction path (the pre-r5 semantics, done by hand)
+    ridx = np.nonzero(keep)[0]
+    sub = sp.csr_matrix(a)[ridx][:, ridx]
+    gb = GraphBatch.from_scipy([sub], [w[ridx]], pad_to=bucket)
+    feats, sups = build_state_arrays(
+        gb.adj, gb.wts, gb.mask, cfg.feature_size, cfg.max_degree,
+        cfg.predict, agent.feature_mode)
+    out = np.asarray(agent.model.apply({"params": agent.params}, feats,
+                                       sups) * gb.mask[..., None])
+    d = cfg.diver_num
+    heads = out[0, :, : 2 * d].reshape(bucket, d, 2)
+    e = np.exp(heads - heads.max(-1, keepdims=True))
+    probs_x = (e / e.sum(-1, keepdims=True))[..., 1][: len(ridx)]
+    np.testing.assert_allclose(probs_r[ridx], probs_x, atol=1e-5,
+                               err_msg="head scores differ")
+    guided = np.zeros((1, d, bucket), np.float32)
+    guided[0, :, : len(ridx)] = probs_x.T * w[ridx]
+    sel_x, _, _ = batched_lgs_multi(gb.adj, jnp.asarray(guided), gb.mask)
+    sel_x = np.asarray(sel_x)[0, :, : len(ridx)]
+    # compare selected node sets per head (global vs compacted ids)
+    for k in range(d):
+        got = set(np.nonzero(sel_r[k] == 1)[0].tolist())
+        ref = set(ridx[np.nonzero(sel_x[k] == 1)[0]].tolist())
+        assert got == ref, f"head {k}: {got} != {ref}"
