@@ -91,6 +91,9 @@ class LargeGraph:
     r: Optional[jnp.ndarray] = None      # [n_pad, 1] f32
     separable: bool = False
     interpret: bool = False              # Pallas interpret mode (tests)
+    # gather-window metadata (wlist, gofs, own_ofs, Wg) for the fused
+    # gwin kernel (ops.spmm.panel_gather_meta) — bitmap streams only
+    gather: Optional[tuple] = None
 
     @property
     def use_pallas(self) -> bool:
@@ -175,23 +178,41 @@ def build_large_graph(adj, block_size: int = 512,
         # n_panels times per layer, so taller panels cut HBM stream
         # (x-traffic / layer = n_panels * W * bs * F * 2B) — pick the
         # tallest height whose window still fits the fused (f=128) and
-        # LGS panel kernels' VMEM residents (measured: 4 -> 16 block-rows
-        # is +19% at N=262k, +5% at 65k; the serpentine-ordered graphs
-        # fit 16 at both scales)
-        from distgcn_tpu.ops.cheb_fused import panels_fit_vmem
+        # LGS kernels' VMEM residents (measured: 4 -> 16 block-rows is
+        # +19% at N=262k, +5% at 65k). Bitmap streams prefer the
+        # gather-window fused kernel (distinct cols only, Wg <= W:
+        # bit-exact and measured faster at every probed config) — then
+        # only the LGS side constrains the contiguous span.
+        from distgcn_tpu.ops.cheb_fused import gwin_fit_vmem, panels_fit_vmem
         item = 0.125 if g.bitmap else 1
-        pr_sel = 4
+        # LGS chunk-kernel fit is pr-independent (whole stream + x + out)
+        n_blocks_est = spmm_mod._count_touched_blocks(ind, ibs)
+        lgs_chunks_ok = spmm_mod._nbr_max_fits_vmem(
+            -(-n_blocks_est // spmm_mod._CHUNK) * spmm_mod._CHUNK,
+            ibs, n_pad, n_pad, item)
+        pr_sel, use_gather = 4, False
         for pr in (32, 16, 8):
             w_pr = spmm_mod.panel_window_width(ind, ibs, pr)
-            if (panels_fit_vmem(pr, ibs, w_pr, 128, bitmap=g.bitmap)
-                    and spmm_mod._nbr_max_panels_fit_vmem(pr, ibs, w_pr,
-                                                          item)):
+            lgs_ok = lgs_chunks_ok or spmm_mod._nbr_max_panels_fit_vmem(
+                pr, ibs, w_pr, item)
+            if not lgs_ok:
+                continue
+            if g.bitmap:
+                wg_pr = spmm_mod.panel_gather_width(ind, ibs, pr)
+                if gwin_fit_vmem(pr, ibs, wg_pr, 128):
+                    pr_sel, use_gather = pr, True
+                    break
+            if panels_fit_vmem(pr, ibs, w_pr, 128, bitmap=g.bitmap):
                 pr_sel = pr
                 break
         g.panels = spmm_mod.bsr_panels(
             ind, ibs, panel_rows=pr_sel,
             dtype="bits" if g.bitmap else np.int8)
         g.ind_bsr = g.panels.bsr
+        if g.bitmap and (use_gather or gwin_fit_vmem(
+                pr_sel, ibs,
+                spmm_mod.panel_gather_width(ind, ibs, pr_sel), 128)):
+            g.gather = spmm_mod.panel_gather_meta(g.panels, n_pad // ibs)
         if g.bitmap and auto_pack:
             # bitmap streams only run on the chunk-/panel-grid kernels; on
             # order-free graphs whose panels degenerate (huge win_blocks)
@@ -210,6 +231,7 @@ def build_large_graph(adj, block_size: int = 512,
                     "structure blocks; locality-order the graph (RCM) to "
                     "restore the bitmap path")
                 g.bitmap = False
+                g.gather = None
                 g.panels = spmm_mod.bsr_panels(ind, ibs, dtype=np.int8)
                 g.ind_bsr = g.panels.bsr
         g.ind_row_ptr = bsr_row_ptr(g.ind_bsr)
@@ -231,6 +253,9 @@ def graph_arrays(graph: LargeGraph) -> dict:
                  ind_row_ptr=graph.ind_row_ptr,
                  panel_ptr=graph.panels.panel_ptr,
                  win_start=graph.panels.win_start)
+        if graph.gather is not None:
+            d.update(g_wlist=graph.gather[0], g_gofs=graph.gather[1],
+                     g_own_ofs=graph.gather[2])
         if graph.bsr is not None:
             d.update(blk_vals=graph.bsr.blk_vals, row_ptr=graph.row_ptr,
                      blk_cols=graph.bsr.blk_cols,
@@ -320,6 +345,10 @@ def large_gcn_forward(graph: LargeGraph, params_list, x,
         f = -(-max(dims) // 128) * 128
         ind = graph.ind_bsr
         pans = graph.panels
+        gather = None
+        if graph.gather is not None and "g_wlist" in arrs:
+            gather = (arrs["g_wlist"], arrs["g_gofs"], arrs["g_own_ofs"],
+                      graph.gather[3])
         return cheb_fused.fused_forward(
             arrs["ind_vals"], arrs["ind_row_ptr"], arrs["ind_cols"],
             arrs["r"], params_list, x, ind.n_rows, ind.block_size, f=f,
@@ -328,7 +357,7 @@ def large_gcn_forward(graph: LargeGraph, params_list, x,
             blk_rows=arrs["ind_rows"], panel_ptr=arrs["panel_ptr"],
             win_start=arrs["win_start"], panel_rows=pans.panel_rows,
             win_blocks=pans.win_blocks, n_panels=pans.n_panels,
-            bitmap=graph.bitmap)
+            bitmap=graph.bitmap, gather=gather)
     anorm_spmm = _make_spmm(graph, arrs)
     hp = jax.lax.Precision.HIGHEST
     h = x

@@ -361,6 +361,177 @@ def _fused_cheb_layer_panels(ind_vals, panel_ptr, win_start, blk_rows,
     return out[:n_rows]
 
 
+def _fused_gwin_kernel(panel_ptr_ref, wlist_ref, gofs_ref, own_ofs_ref,
+                       blk_rows_ref, ind_hbm, x_hbm, r_hbm, w1_ref,
+                       w01_ref, bias_ref, o_ref, xwin, rwin, ibuf, acc,
+                       sem_x, sem_r, sem_i,
+                       *, bs, chunk, panel_rows, wg, nr_b, act_mode):
+    """Gather-window fused layer: like `_fused_panel_kernel` but the x/r
+    window holds only the panel's DISTINCT block-columns (wlist), fetched
+    as Wg per-block DMAs pipelined 8 deep instead of one contiguous span.
+    Cuts the per-layer x stream where the span is sparse (serpentine
+    262k: Wg=52 vs W=81) and measured FASTER even at Wg == W (the
+    pipelined slices overlap the prologue better than one monolithic
+    copy). Blocks address the window through gofs (block -> window slot);
+    the epilogue reads the panel's own rows at own_ofs (the own row range
+    is contiguous in the sorted column list). Bitmap streams only."""
+    p = pl.program_id(0)
+    c0 = panel_ptr_ref[p]
+    nch = panel_ptr_ref[p + 1] - c0
+
+    def xdma(w):
+        c = wlist_ref[p, w]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c * bs, bs), :],
+            xwin.at[pl.ds(w * bs, bs), :], sem_x.at[w % 8])
+
+    def rdma(w):
+        c = wlist_ref[p, w]
+        return pltpu.make_async_copy(
+            r_hbm.at[:, pl.ds(c * bs, bs)],
+            rwin.at[:, pl.ds(w * bs, bs)], sem_r.at[w % 8])
+
+    def gstart(w, _):
+        xdma(w).start()
+        rdma(w).start()
+        return 0
+
+    jax.lax.fori_loop(0, jnp.minimum(8, wg), gstart, 0)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            ind_hbm.at[pl.ds((c0 + c) * chunk, chunk)], ibuf.at[slot],
+            sem_i.at[slot])
+
+    dma(0, 0).start()
+    acc[...] = jnp.zeros_like(acc)
+
+    def gpipe(w, _):
+        xdma(w).wait()
+        rdma(w).wait()
+
+        @pl.when(w + 8 < wg)
+        def _():
+            xdma(w + 8).start()
+            rdma(w + 8).start()
+        return 0
+
+    jax.lax.fori_loop(0, wg, gpipe, 0)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+            dma(nxt, c + 1).start()
+
+        dma(slot, c).wait()
+        for j in range(chunk):
+            b = (c0 + c) * chunk + j
+            lrow = blk_rows_ref[b] - p * panel_rows
+            lw = gofs_ref[b]
+            ind = _unpack_bits(ibuf[slot, j], bs, jnp.float32)
+            inds = ind * rwin[:, pl.ds(lw * bs, bs)]
+            prod = jnp.dot(inds.astype(jnp.bfloat16),
+                           xwin[pl.ds(lw * bs, bs), :],
+                           preferred_element_type=jnp.float32)
+            acc[pl.ds(lrow * bs, bs), :] += prod
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+    hp = jax.lax.Precision.HIGHEST
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1))
+    eyef = eye.astype(jnp.float32)
+    oofs = own_ofs_ref[p]
+    for i in range(panel_rows):
+        @pl.when(p * panel_rows + i < nr_b)
+        def _(i=i):
+            lo = (oofs + i) * bs
+            hrow = xwin[pl.ds(lo, bs), :].astype(jnp.float32)
+            y = jnp.dot(hrow, w01_ref[...],
+                        preferred_element_type=jnp.float32, precision=hp)
+            lag = jnp.dot(acc[pl.ds(i * bs, bs), :], w1_ref[...],
+                          preferred_element_type=jnp.float32, precision=hp)
+            dr = eyef * rwin[:, pl.ds(lo, bs)]
+            rlag = jnp.dot(dr.astype(jnp.bfloat16),
+                           lag.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            out = y - rlag + bias_ref[...]
+            if act_mode == 1:
+                out = jnp.maximum(out, 0.2 * out)
+            o_ref[pl.ds(i * bs, bs), :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_rows", "block_size", "panel_rows", "wg", "n_panels", "act_mode",
+    "out_dtype", "interpret"))
+def _fused_cheb_layer_gwin(ind_vals, panel_ptr, wlist, gofs, own_ofs,
+                           blk_rows, x, r, w1, w01, bias, n_rows: int,
+                           block_size: int, panel_rows: int, wg: int,
+                           n_panels: int, act_mode: int,
+                           out_dtype=jnp.bfloat16, interpret: bool = False):
+    """One fused ChebGCN layer (K=1) over a gather-window panel stream
+    (`ops.spmm.panel_gather_meta`). Bitmap ind_vals only."""
+    nb = ind_vals.shape[0]
+    bs = block_size
+    f = x.shape[1]
+    assert f % 128 == 0, f
+    nr_b = n_rows // bs
+    nr_pad = n_panels * panel_rows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_panels,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((f, f), lambda p, *_: (0, 0)),
+            pl.BlockSpec((f, f), lambda p, *_: (0, 0)),
+            pl.BlockSpec((1, f), lambda p, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((panel_rows * bs, f), lambda p, *_: (p, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((wg * bs, f), jnp.bfloat16),
+            pltpu.VMEM((1, wg * bs), jnp.float32),
+            pltpu.VMEM((2, _CHUNK, bs // 32, bs), ind_vals.dtype),
+            pltpu.VMEM((panel_rows * bs, f), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_gwin_kernel, bs=bs, chunk=_CHUNK,
+                          panel_rows=panel_rows, wg=wg, nr_b=nr_b,
+                          act_mode=act_mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nr_pad * bs, f), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * bs * bs * f + 4 * n_rows * f * f,
+            bytes_accessed=nb * bs * bs // 8
+            + n_panels * wg * bs * (2 * f + 4) + 2 * n_rows * f,
+            transcendentals=0),
+    )(panel_ptr, wlist, gofs, own_ofs, blk_rows, ind_vals, x, r, w1, w01,
+      bias)
+    return out[:n_rows]
+
+
+def gwin_fit_vmem(panel_rows: int, bs: int, wg: int, f: int) -> bool:
+    """VMEM residents of `_fused_cheb_layer_gwin` (bitmap chunks): gather
+    x window (bf16) + 8-sublane-padded r window + chunk double-buffer +
+    f32 accumulator + double-buffered output panel at the WORST-CASE
+    f32 out_dtype (the final layer emits f32 — pr=32/Wg=96 at N=262k
+    compiled for bf16 layers but hit scoped-vmem OOM at 18.2 MB on the
+    f32 head, so the head's footprint is the binding one)."""
+    return (wg * bs * f * 2 + 8 * wg * bs * 4 + 2 * _CHUNK * bs * bs // 8
+            + panel_rows * bs * f * 4
+            + 2 * panel_rows * bs * f * 4) <= 15 * 1024 * 1024
+
+
 def panels_fit_vmem(panel_rows: int, bs: int, win_blocks: int,
                     f: int, bitmap: bool = False) -> bool:
     """VMEM residents of `_fused_cheb_layer_panels`: x window (bf16) + r
@@ -399,7 +570,8 @@ def fused_forward(ind_vals, row_ptr, blk_cols, r, params_list, feats,
                   final_act_mode: int = 0, interpret: bool = False,
                   blk_rows=None, panel_ptr=None, win_start=None,
                   panel_rows: int = 0, win_blocks: int = 0,
-                  n_panels: int = 0, bitmap: bool = False) -> jnp.ndarray:
+                  n_panels: int = 0, bitmap: bool = False,
+                  gather=None) -> jnp.ndarray:
     """L-layer fused ChebGCN forward (K=1): leaky_relu(0.2) hidden layers,
     final layer act per ``final_act_mode`` (0=identity — GCN_DQN,
     gcn/models.py:487-575; 1=leaky_relu — GCN2_DQN final_act_same). feats:
@@ -410,7 +582,12 @@ def fused_forward(ind_vals, row_ptr, blk_cols, r, params_list, feats,
     the panel-grid kernel (bigger DMAs, no per-block x/r traffic);
     otherwise the row-grid kernel.
     """
-    use_panels = (panel_ptr is not None
+    # gather-window kernel when metadata present and its window fits:
+    # strictly less (or equal) x stream than the contiguous span, and
+    # measured faster even at Wg == W (pipelined slice DMAs)
+    use_gwin = (gather is not None and bitmap
+                and gwin_fit_vmem(panel_rows, block_size, gather[3], f))
+    use_panels = (not use_gwin and panel_ptr is not None
                   and panels_fit_vmem(panel_rows, block_size, win_blocks, f,
                                       bitmap=bitmap))
     h = jnp.pad(feats, ((0, 0), (0, f - feats.shape[1]))).astype(jnp.bfloat16)
@@ -421,7 +598,14 @@ def fused_forward(ind_vals, row_ptr, blk_cols, r, params_list, feats,
         last = li == nl - 1
         act_mode = final_act_mode if last else 1
         out_dtype = jnp.float32 if last else jnp.bfloat16
-        if use_panels:
+        if use_gwin:
+            wlist, gofs, own_ofs, wg = gather
+            h = _fused_cheb_layer_gwin(
+                ind_vals, panel_ptr, wlist, gofs, own_ofs, blk_rows, h, r,
+                p["w1"], p["w01"], p["bias"], n_rows, block_size,
+                panel_rows, wg, n_panels, act_mode=act_mode,
+                out_dtype=out_dtype, interpret=interpret)
+        elif use_panels:
             h = _fused_cheb_layer_panels(
                 ind_vals, panel_ptr, win_start, blk_rows, blk_cols, h, r,
                 p["w1"], p["w01"], p["bias"], n_rows, block_size,

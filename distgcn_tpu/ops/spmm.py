@@ -751,6 +751,80 @@ def panel_window_width(s: sp.spmatrix, block_size: int,
     return int(max((max_c - min_c + 1).max(), min(w_own, nc_b)))
 
 
+def _count_touched_blocks(s: sp.spmatrix, block_size: int) -> int:
+    """Number of distinct nonzero [bs, bs] blocks (pre-padding) — lets the
+    panel-height auto-tuner run fit checks before any panels are built."""
+    s = sp.csr_matrix(s)
+    coo = s.tocoo()
+    nc_b = -(-s.shape[1] // block_size)
+    keys = (coo.row // block_size).astype(np.int64) * nc_b \
+        + coo.col // block_size
+    return int(np.unique(keys).size)
+
+
+def panel_gather_width(s: sp.spmatrix, block_size: int,
+                       panel_rows: int) -> int:
+    """Wg that `panel_gather_meta` would produce for panels of this height
+    — without building the panels (the gather analog of
+    `panel_window_width`, for the panel-height auto-tuner)."""
+    s = sp.csr_matrix(s)
+    bs = block_size
+    nr_b = -(-s.shape[0] // bs)
+    nc_b = -(-s.shape[1] // bs)
+    n_panels = -(-nr_b // panel_rows)
+    coo = s.tocoo()
+    keys = (coo.row // bs).astype(np.int64) * nc_b + coo.col // bs
+    uniq = np.unique(keys)
+    pan_of = (uniq // nc_b) // panel_rows
+    pairs = pan_of * nc_b + uniq % nc_b
+    own = []
+    for p in range(n_panels):
+        rng = np.arange(p * panel_rows, min((p + 1) * panel_rows, nc_b))
+        own.append(p * nc_b + rng)
+    pairs = np.unique(np.concatenate([pairs] + own))
+    counts = np.bincount((pairs // nc_b).astype(np.int64),
+                         minlength=n_panels)
+    return int(-(-counts.max() // 4) * 4)
+
+
+def panel_gather_meta(pans: "BsrPanels", nc_b: int):
+    """Gather-window metadata for the fused gwin kernel
+    (`ops.cheb_fused._fused_cheb_layer_gwin`): per panel the DISTINCT
+    block-columns (plus the panel's own row range for the epilogue),
+    padded to a common width Wg by repeating the last column.
+
+    Returns (wlist [n_panels, Wg] int32, gofs [nb] int32 block -> window
+    slot, own_ofs [n_panels] int32 window slot of the panel's first own
+    row-col, Wg). Wg <= win_blocks always (distinct ⊆ contiguous span);
+    on serpentine-ordered graphs a panel's columns are <=3 contiguous
+    runs, so Wg can be far below the span (measured 52 vs 81 at N=262k).
+    """
+    blk_rows = np.asarray(pans.bsr.blk_rows)
+    blk_cols_g = np.asarray(pans.bsr.blk_cols)
+    panel_ptr = np.asarray(pans.panel_ptr)
+    pr = pans.panel_rows
+    n_panels = pans.n_panels
+    cols_lists = []
+    for p in range(n_panels):
+        b0, b1 = panel_ptr[p] * _CHUNK, panel_ptr[p + 1] * _CHUNK
+        own = np.arange(p * pr, min((p + 1) * pr, nc_b))
+        cols_lists.append(np.unique(np.concatenate(
+            [blk_cols_g[b0:b1], own])))
+    wg = -(-max(len(c) for c in cols_lists) // 4) * 4
+    wlist = np.zeros((n_panels, wg), np.int32)
+    gofs = np.zeros(blk_rows.size, np.int32)
+    own_ofs = np.zeros(n_panels, np.int32)
+    for p, cols in enumerate(cols_lists):
+        wlist[p, : len(cols)] = cols
+        wlist[p, len(cols):] = cols[-1]
+        b0, b1 = panel_ptr[p] * _CHUNK, panel_ptr[p + 1] * _CHUNK
+        gofs[b0:b1] = np.searchsorted(cols, blk_cols_g[b0:b1])
+        # own row range is contiguous ints, hence contiguous in sorted cols
+        own_ofs[p] = np.searchsorted(cols, p * pr)
+    return (jnp.asarray(wlist), jnp.asarray(gofs), jnp.asarray(own_ofs),
+            int(wg))
+
+
 def bsr_panels(s: sp.spmatrix, block_size: int = 512,
                panel_rows: int = 4, dtype=np.int8) -> BsrPanels:
     """Build a panel-aligned `BsrMatrix` (see `BsrPanels`) from scipy.

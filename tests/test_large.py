@@ -256,3 +256,26 @@ def test_serpentine_order_scale_invariant_blocks():
         counts[n] = len(np.unique(blk)) * bs * bs / adj.nnz
     # scale-invariance: area/edge within 25% across a 4x size step
     assert abs(counts[32768] - counts[8192]) / counts[8192] < 0.25, counts
+
+
+def test_gather_window_fused_matches_contiguous_panels():
+    """The gather-window fused layer (r5, ops.spmm.panel_gather_meta +
+    cheb_fused._fused_cheb_layer_gwin) must be bit-equal to the contiguous
+    panel kernel — same blocks, same math, only the x/r window layout
+    differs."""
+    import jax.numpy as jnp
+    from distgcn_tpu.large import (geometric_conflict_graph,
+                                   large_gcn_forward, graph_arrays)
+
+    adj, _, _ = geometric_conflict_graph(1500, avg_degree=10.0, seed=5)
+    g = build_large_graph(adj, block_size=128, use_pallas=True,
+                          interpret=True, ind_block_size=128)
+    assert g.bitmap and g.gather is not None
+    plist = [{"w_0": jnp.full((1, 4), 0.3), "w_1": jnp.full((1, 4), 0.7)},
+             {"w_0": jnp.full((4, 1), 0.2), "w_1": jnp.full((4, 1), 0.4)}]
+    x = jnp.ones((g.n_pad, 1))
+    out_g = np.asarray(large_gcn_forward(g, plist, x), np.float32)
+    g.gather = None          # force the contiguous panel kernel
+    out_p = np.asarray(large_gcn_forward(g, plist, x,
+                                         arrs=graph_arrays(g)), np.float32)
+    np.testing.assert_array_equal(out_g, out_p)
