@@ -535,6 +535,13 @@ def make_large_closed_loop(graph: LargeGraph,
     final_act = identity
     arrs0 = graph_arrays(graph)
 
+    # weight-independent features (mwis + gdpg): the GCN activation is
+    # loop-invariant — hoist it EXPLICITLY out of the episode scan rather
+    # than relying on XLA LICM of the 20 chained Pallas custom-calls
+    # (observed not to hoist with the r5 panel kernels: 13.2 ms/slot
+    # instead of ~6)
+    hoist_gcn = predict == "mwis" and feature_mode != "dqn"
+
     @jax.jit
     def run(arrs, params_list, queue0, key):
         mask = arrs["mask"]
@@ -545,6 +552,15 @@ def make_large_closed_loop(graph: LargeGraph,
                 return bsr_lgs(graph, arrs, w, mask)
             return ell_lgs(arrs["ell_cols"], arrs["ell_valid"], w, mask)
 
+        act_h = None
+        if hoist_gcn:
+            feats = jnp.full((graph.n_pad, feature_size),
+                             1.0 / feature_size, jnp.float32) * m[:, None]
+            out = large_gcn_forward(graph, params_list, feats,
+                                    final_act=final_act,
+                                    max_degree=max_degree, arrs=arrs)
+            act_h = out[:, 0] * m
+
         def body(carry, _):
             queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
@@ -554,22 +570,22 @@ def make_large_closed_loop(graph: LargeGraph,
             rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) * m
             queue = queue + arrivals
             wts = slot_utilities(queue[None], rates[None], wt_sel)[0] * m
-            if predict == "mwis":
-                feats = jnp.full((graph.n_pad, feature_size),
-                                 1.0 / feature_size, jnp.float32)
-                if feature_mode == "dqn":
-                    feats = feats * ((wts != 0).astype(jnp.float32)
-                                     * m)[:, None]
-                else:
-                    feats = feats * m[:, None]
+            if hoist_gcn:
+                act = act_h
             else:
-                norm = jnp.max(jnp.abs(wts) * m) + 1e-9
-                feats = jnp.repeat((wts / norm)[:, None], feature_size,
-                                   axis=1) * m[:, None]
-            out = large_gcn_forward(graph, params_list, feats,
-                                    final_act=final_act,
-                                    max_degree=max_degree, arrs=arrs)
-            act = out[:, 0] * m
+                if predict == "mwis":
+                    feats = jnp.full((graph.n_pad, feature_size),
+                                     1.0 / feature_size, jnp.float32)
+                    feats = feats * ((wts != 0).astype(jnp.float32)
+                                    * m)[:, None]
+                else:
+                    norm = jnp.max(jnp.abs(wts) * m) + 1e-9
+                    feats = jnp.repeat((wts / norm)[:, None], feature_size,
+                                       axis=1) * m[:, None]
+                out = large_gcn_forward(graph, params_list, feats,
+                                        final_act=final_act,
+                                        max_degree=max_degree, arrs=arrs)
+                act = out[:, 0] * m
             gcn_wts = act * wts if predict == "mwis" else act
             sel, _, _ = lgs(gcn_wts)
             on = (sel == 1).astype(queue.dtype)
