@@ -104,3 +104,34 @@ def test_replay_trainer_matches_tf1_updates(flavor, mkey, num_layer):
                 loose = err <= 5e-5 + 0.25 * np.abs(d_tf)
                 assert loose.all(), \
                     f"{tag} {lname}/{vname}: max err {err.max():.2e}"
+
+
+def test_tf1_adam_schedule_and_bias_correction_bases():
+    """tf1_adam: the lr schedule reads the 0-based step (tf1 minimize()
+    reads global_step BEFORE incrementing) while the bias correction uses
+    the 1-based update count. Pinned against the closed-form update for a
+    single scalar parameter."""
+    import jax.numpy as jnp
+    import optax
+    from distgcn_tpu.rl.train import tf1_adam
+
+    lr0, decay, period = 1e-3, 0.5, 3
+    sched = optax.exponential_decay(lr0, period, decay, staircase=True)
+    opt = tf1_adam(sched)
+    p = {"w": jnp.asarray([1.0])}
+    state = opt.init(p)
+    g = {"w": jnp.asarray([0.5])}
+    m = v = 0.0
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for t in range(1, 6):
+        upd, state = opt.update(g, state)
+        p = optax.apply_updates(p, upd)
+        lr = lr0 * decay ** ((t - 1) // period)      # 0-based schedule
+        m = b1 * m + (1 - b1) * 0.5
+        v = b2 * v + (1 - b2) * 0.25
+        lr_t = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)  # 1-based corr
+        expect = -lr_t * m / (np.sqrt(v) + eps)
+        # rtol covers f32-vs-f64 arithmetic (~1e-5); a schedule-base or
+        # correction-base mistake shows as a 2x/30% error
+        np.testing.assert_allclose(np.asarray(upd["w"])[0], expect,
+                                   rtol=1e-4, err_msg=f"step {t}")
