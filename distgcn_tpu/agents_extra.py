@@ -433,6 +433,7 @@ class DiverAgent(MWISSolver):
                             self.flags.pad_to)
         active = []                                     # (idx, _BsfSearch)
         adjs_dev = None                       # rebuilt on active-set change
+        self._bsf_nactive = -1
         while todo or active:
             joined = False
             while todo and len(active) < group:
@@ -442,11 +443,17 @@ class DiverAgent(MWISSolver):
                     noout, backoff,
                     np.random.default_rng((getattr(self, "_seed", 0), i)))))
                 joined = True
-            if joined or adjs_dev is None \
-                    or int(adjs_dev.shape[0]) != len(active):
-                adjs_dev = self._resident_adjs([s.adj for _, s in active],
-                                               bucket)
-                wrows = np.zeros((len(active), bucket), np.float32)
+            if joined or adjs_dev is None or self._bsf_nactive != len(active):
+                # pad the graph axis to the constant `group` (zero rows for
+                # empty slots): a shrinking G at the sweep tail would
+                # re-specialize the jitted eval per distinct size — a fresh
+                # XLA compile per retirement (review r5 #4)
+                pads = [sp.csr_matrix((1, 1), dtype=np.float32)
+                        ] * (group - len(active))
+                adjs_dev = self._resident_adjs(
+                    [s.adj for _, s in active] + pads, bucket)
+                self._bsf_nactive = len(active)
+                wrows = np.zeros((group, bucket), np.float32)
                 for gi, (_, s) in enumerate(active):
                     wrows[gi, : s.wts.size] = s.wts
             batches = []

@@ -106,7 +106,8 @@ def build_large_graph(adj, block_size: int = 512,
                       block_dtype=np.float32,
                       ind_block_size: Optional[int] = None,
                       value_blocks: Optional[bool] = None,
-                      bit_pack: Optional[bool] = None) -> LargeGraph:
+                      bit_pack: Optional[bool] = None,
+                      tune_f: int = 128) -> LargeGraph:
     """Preprocess a scipy adjacency into a `LargeGraph`.
 
     Keep the graph locality-ordered (geometric/RCM) before calling — BSR
@@ -190,7 +191,13 @@ def build_large_graph(adj, block_size: int = 512,
         lgs_chunks_ok = spmm_mod._nbr_max_fits_vmem(
             -(-n_blocks_est // spmm_mod._CHUNK) * spmm_mod._CHUNK,
             ibs, n_pad, n_pad, item)
+        # `tune_f` is the feature lane-width the fit checks assume (the
+        # flagship models run f=128); fused_forward re-checks fit at the
+        # ACTUAL model width and falls back to the row-grid kernel, so a
+        # wider model is safe but should pass its width here to keep the
+        # tall-panel speedups
         pr_sel, use_gather = 4, False
+        gw_cache = {}
         for pr in (32, 16, 8):
             w_pr = spmm_mod.panel_window_width(ind, ibs, pr)
             lgs_ok = lgs_chunks_ok or spmm_mod._nbr_max_panels_fit_vmem(
@@ -198,20 +205,24 @@ def build_large_graph(adj, block_size: int = 512,
             if not lgs_ok:
                 continue
             if g.bitmap:
-                wg_pr = spmm_mod.panel_gather_width(ind, ibs, pr)
-                if gwin_fit_vmem(pr, ibs, wg_pr, 128):
+                wg_pr = gw_cache[pr] = spmm_mod.panel_gather_width(
+                    ind, ibs, pr)
+                if gwin_fit_vmem(pr, ibs, wg_pr, tune_f):
                     pr_sel, use_gather = pr, True
                     break
-            if panels_fit_vmem(pr, ibs, w_pr, 128, bitmap=g.bitmap):
+            if panels_fit_vmem(pr, ibs, w_pr, tune_f, bitmap=g.bitmap):
                 pr_sel = pr
                 break
         g.panels = spmm_mod.bsr_panels(
             ind, ibs, panel_rows=pr_sel,
             dtype="bits" if g.bitmap else np.int8)
         g.ind_bsr = g.panels.bsr
-        if g.bitmap and (use_gather or gwin_fit_vmem(
-                pr_sel, ibs,
-                spmm_mod.panel_gather_width(ind, ibs, pr_sel), 128)):
+        if g.bitmap and not use_gather:
+            wg_sel = gw_cache.get(pr_sel)
+            if wg_sel is None:
+                wg_sel = spmm_mod.panel_gather_width(ind, ibs, pr_sel)
+            use_gather = gwin_fit_vmem(pr_sel, ibs, wg_sel, tune_f)
+        if g.bitmap and use_gather:
             g.gather = spmm_mod.panel_gather_meta(g.panels, n_pad // ibs)
         if g.bitmap and auto_pack:
             # bitmap streams only run on the chunk-/panel-grid kernels; on

@@ -846,7 +846,12 @@ def bsr_panels(s: sp.spmatrix, block_size: int = 512,
     bc = coo.col // bs
     keys = br.astype(np.int64) * nc_b + bc
     empty = np.setdiff1d(np.arange(nr_b, dtype=np.int64), np.unique(br))
-    uniq, inv = np.unique(np.concatenate([keys, empty * nc_b]),
+    # placeholder blocks for empty block-rows sit on the DIAGONAL (inside
+    # the panel's own-row window), not at column 0 — a col-0 placeholder
+    # dragged min_c to 0 and degenerated the window to full width on any
+    # graph whose padding produced an empty block-row (review r5 #1)
+    empty_keys = empty * nc_b + np.minimum(empty, nc_b - 1)
+    uniq, inv = np.unique(np.concatenate([keys, empty_keys]),
                           return_inverse=True)
     inv = inv[: coo.nnz]
     rows_u = (uniq // nc_b).astype(np.int32)

@@ -54,9 +54,20 @@ def load_training_state(path: str, agent) -> Optional[dict]:
     if trainer is not None and os.path.isfile(ofile):
         data = np.load(ofile)
         flat = [data[k] for k in data.files]
-        _, treedef = jax.tree_util.tree_flatten(trainer.opt_state)
-        trainer.opt_state = jax.tree_util.tree_unflatten(
-            treedef, [jax.numpy.asarray(x) for x in flat])
+        leaves, treedef = jax.tree_util.tree_flatten(trainer.opt_state)
+        if len(flat) == len(leaves):
+            trainer.opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jax.numpy.asarray(x) for x in flat])
+        else:
+            # optimizer-structure change across versions (e.g. the r5
+            # optax.adam -> tf1_adam swap adds/removes a schedule-state
+            # leaf under learning_decay < 1): resume with params but a
+            # fresh optimizer state instead of crashing on unflatten
+            import warnings
+            warnings.warn(
+                f"opt_state.npz has {len(flat)} leaves but the current "
+                f"optimizer expects {len(leaves)} — optimizer state NOT "
+                "restored (params/epsilon are); Adam moments restart")
     mfile = os.path.join(path, "train_meta.json")
     meta = None
     if os.path.isfile(mfile):

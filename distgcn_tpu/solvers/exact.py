@@ -591,7 +591,13 @@ def mwis_prove(adj, wts, timeout: float = 300.0,
             return sel1, util, "Timeout"
     best_sel = np.zeros(n, np.int8)
     best_sel[np.asarray(sel1, np.int64)] = 1
-    cons = mwis_root_duals(a, w, time_budget=min(timeout * 0.15, 60.0)) \
+    # budget from the REMAINDER, not the original timeout: after the MILP
+    # arm falls through, stages 3-5 must still honor the caller's total
+    # budget (review r5 #2)
+    remain0 = max(timeout - (_time.time() - t0), 1.0)
+    cons = mwis_root_duals(a, w,
+                           time_budget=min(remain0 * 0.5, timeout * 0.15,
+                                           60.0)) \
         if timeout >= 120 else None
     if cons is None:
         remain = max(timeout - (_time.time() - t0), 1.0)

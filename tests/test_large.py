@@ -279,3 +279,25 @@ def test_gather_window_fused_matches_contiguous_panels():
     out_p = np.asarray(large_gcn_forward(g, plist, x,
                                          arrs=graph_arrays(g)), np.float32)
     np.testing.assert_array_equal(out_g, out_p)
+
+
+def test_unaligned_n_keeps_bitmap_panels_bounded_window():
+    """Review r5 #1: an n whose padding creates EMPTY ind block-rows must
+    not degenerate the panel window (placeholders now sit on the diagonal,
+    inside the own-row window) nor silently lose the bitmap path."""
+    adj, _, _ = geometric_conflict_graph(33000, avg_degree=10.0, seed=9)
+    g = build_large_graph(adj, block_size=512, use_pallas=True,
+                          interpret=True)
+    nc_b = g.n_pad // g.ind_bsr.block_size
+    assert g.bitmap, "bitmap path lost on unaligned n"
+    assert g.panels.win_blocks < nc_b, \
+        (g.panels.win_blocks, nc_b, "window degenerated to full width")
+    # estimator must agree with the built panels
+    import scipy.sparse as sp
+    ind = sp.csr_matrix(adj)
+    ind.data[:] = 1.0
+    ind.resize(g.n_pad, g.n_pad)
+    from distgcn_tpu.ops.spmm import panel_window_width
+    est = panel_window_width(ind, g.ind_bsr.block_size,
+                             g.panels.panel_rows)
+    assert est == g.panels.win_blocks, (est, g.panels.win_blocks)
