@@ -126,13 +126,20 @@ def main():
     cfg_loop = dataclasses.replace(cfg, compute_dtype="bfloat16")
     run = make_closed_loop(agent.model, cfg_loop, timeslots=T, load=0.9)
     q0 = jnp.zeros((b, n))
+
+    # episode RNG rides the TPU-native rbg generator: same distributions
+    # (arrivals are inverse-CDF Poisson, impl-agnostic), different stream;
+    # threefry bit-gen alone cost ~60 us/slot at this batch (measured r5)
+    def rbg_key(i):
+        return jax.random.key(i, impl="rbg")
+
     np.asarray(run(agent.params, gb.adj, gb.mask, q0,
-                   jax.random.PRNGKey(0))[0])  # compile
+                   rbg_key(0))[0])  # compile
     loop_times = []
     for i in range(3):
         t0 = time.perf_counter()
         np.asarray(run(agent.params, gb.adj, gb.mask, q0,
-                       jax.random.PRNGKey(i + 1))[0])
+                       rbg_key(i + 1))[0])
         loop_times.append(time.perf_counter() - t0)
     loop_gps = T * b / min(loop_times)
 
@@ -143,12 +150,12 @@ def main():
     run_dqn = make_closed_loop(agent.model, cfg_loop, timeslots=T, load=0.9,
                                feature_mode="dqn")
     np.asarray(run_dqn(agent.params, gb.adj, gb.mask, q0,
-                       jax.random.PRNGKey(0))[0])  # compile
+                       rbg_key(0))[0])  # compile
     per_slot_times = []
     for i in range(3):
         t0 = time.perf_counter()
         np.asarray(run_dqn(agent.params, gb.adj, gb.mask, q0,
-                           jax.random.PRNGKey(i + 1))[0])
+                           rbg_key(i + 1))[0])
         per_slot_times.append(time.perf_counter() - t0)
     per_slot_gps = T * b / min(per_slot_times)
     out = pipe_stream(agent.params, gb.adj, gb.wts, gb.mask)

@@ -538,9 +538,11 @@ def make_large_closed_loop(graph: LargeGraph,
     Returns run(params_list, queue0, key) ->
       (queueT [n_pad], {"avg_queue_len", "avg_utility", "sched_rate"}).
     """
-    from distgcn_tpu.sim.device_sim import slot_utilities
+    from distgcn_tpu.sim.device_sim import (slot_utilities,
+                                            make_poisson_arrivals)
 
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    draw_arrivals = make_poisson_arrivals(arrival_rate)
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
     final_act = identity
@@ -575,8 +577,8 @@ def make_large_closed_loop(graph: LargeGraph,
         def body(carry, _):
             queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            arrivals = jax.random.poisson(
-                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            arrivals = draw_arrivals(ka, queue.shape,
+                                      queue.dtype) * m
             rates = jax.random.normal(kr, queue.shape) * std_r + mean_r
             rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) * m
             queue = queue + arrivals

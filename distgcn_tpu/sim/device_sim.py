@@ -31,10 +31,42 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from distgcn_tpu.core import prep
 from distgcn_tpu.ops.lgs import batched_lgs
 from distgcn_tpu.utils.config import Config
+
+
+def _poisson_cdf(lam: float, tail: float = 1e-9) -> np.ndarray:
+    """Poisson(lam) CDF table up to the (1-tail) quantile (float64 host)."""
+    if lam <= 0:
+        return np.ones(1)
+    pmf = [np.exp(-lam)]
+    while sum(pmf) < 1.0 - tail and len(pmf) < int(8 * lam + 64):
+        pmf.append(pmf[-1] * lam / len(pmf))
+    return np.cumsum(pmf)
+
+
+def make_poisson_arrivals(lam: float):
+    """Exact static-rate Poisson sampler: inverse-CDF from ONE uniform.
+
+    ``jax.random.poisson``'s rejection sampler costs ~105 us/slot at
+    [128, 256] on a v5e scan and is threefry-only; with the rate known at
+    trace time the quantile lookup ``#{k: u > cdf[k]}`` is
+    distribution-identical (the >q(1-1e-9) tail folds into the top bin,
+    below one part in 1e9 — and below f32 uniform resolution anyway), runs
+    under ANY PRNG impl including the TPU-native ``rbg`` generator, and
+    measures at the scan noise floor (<1 us/slot). Arrival semantics per
+    wireless_dqn_test.py:181-188 (Poisson counts per slot).
+    """
+    cdf = jnp.asarray(_poisson_cdf(lam), jnp.float32)
+
+    def draw(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape)
+        return jnp.sum(u[..., None] > cdf, axis=-1).astype(dtype)
+
+    return draw
 
 
 def slot_utilities(queue: jnp.ndarray, rates: jnp.ndarray, wt_sel: str,
@@ -121,6 +153,7 @@ def make_closed_loop(model, flags: Config, timeslots: int,
     SPMD with XLA collectives over ICI.
     """
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    draw_arrivals = make_poisson_arrivals(arrival_rate)
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
     step = make_slot_step(model, flags, feature_mode, wt_sel, use_gcn)
@@ -140,8 +173,8 @@ def make_closed_loop(model, flags: Config, timeslots: int,
         def body(carry, _):
             queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            arrivals = jax.random.poisson(
-                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            arrivals = draw_arrivals(ka, queue.shape,
+                                      queue.dtype) * m
             # truncated-Gaussian integer rates (astype(int) truncates toward
             # zero, then clamp — wireless_dqn_test.py:190-194)
             rates = jax.random.normal(kr, queue.shape) * std_r + mean_r
@@ -199,6 +232,7 @@ def make_closed_loop_mc(model, flags: Config, timeslots: int, n_ch: int,
       link_mask [B, Nf].
     """
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    draw_arrivals = make_poisson_arrivals(arrival_rate)
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
 
@@ -216,8 +250,8 @@ def make_closed_loop_mc(model, flags: Config, timeslots: int, n_ch: int,
         def body(carry, _):
             queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            arrivals = jax.random.poisson(
-                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            arrivals = draw_arrivals(ka, queue.shape,
+                                      queue.dtype) * m
             rates = jax.random.normal(kr, (b, nf, n_ch)) * std_r + mean_r
             rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) \
                 * m[..., None]
@@ -279,6 +313,7 @@ def make_online_training_loop(model, flags: Config, optimizer,
        {"loss": [T], "avg_utility_ratio": [T], "avg_queue_len": [B]}).
     """
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    draw_arrivals = make_poisson_arrivals(arrival_rate)
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
     wd = flags.weight_decay
@@ -305,8 +340,8 @@ def make_online_training_loop(model, flags: Config, optimizer,
         def body(carry, _):
             params, opt_state, queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            arrivals = jax.random.poisson(
-                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            arrivals = draw_arrivals(ka, queue.shape,
+                                      queue.dtype) * m
             rates = jax.random.normal(kr, queue.shape) * std_r + mean_r
             rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) * m
             queue = queue + arrivals
@@ -369,6 +404,7 @@ def make_closed_loop_seq(model, flags: Config, timeslots: int, n_ch: int,
       (queueT [B,Nf], {"avg_queue_len": [B], "avg_utility": [B]}).
     """
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    draw_arrivals = make_poisson_arrivals(arrival_rate)
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
 
@@ -384,8 +420,8 @@ def make_closed_loop_seq(model, flags: Config, timeslots: int, n_ch: int,
         def body(carry, _):
             queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            arrivals = jax.random.poisson(
-                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            arrivals = draw_arrivals(ka, queue.shape,
+                                      queue.dtype) * m
             rates = jax.random.normal(kr, (b, nf, n_ch)) * std_r + mean_r
             rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) \
                 * m[..., None]

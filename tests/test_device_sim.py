@@ -304,3 +304,26 @@ def test_closed_loop_bfloat16_matches_f32_quality(rng):
         assert np.all(np.asarray(qT) >= 0)
         outs[dt] = float(np.mean(np.asarray(metrics["avg_utility_ratio"])))
     assert abs(outs["bfloat16"] - outs["float32"]) < 0.02, outs
+
+
+def test_poisson_arrivals_matches_scipy_quantiles():
+    """Inverse-CDF arrivals == scipy.stats.poisson.ppf at every bin
+    midpoint (deterministic oracle — no sampling noise), plus the sampler
+    works under both threefry and rbg PRNG impls with matching moments.
+    Arrival semantics: wireless_dqn_test.py:181-188 (Poisson counts)."""
+    from scipy import stats
+    for lam in (1.0, 7.5, 45.0):
+        draw = device_sim.make_poisson_arrivals(lam)
+        cdf64 = stats.poisson.cdf(np.arange(0, int(8 * lam + 32)), lam)
+        keep = np.diff(cdf64) > 1e-5  # midpoints with f32-safe gaps
+        mids = ((cdf64[:-1] + cdf64[1:]) / 2)[keep]
+        want = stats.poisson.ppf(mids, lam)
+        # feed the midpoints through the device quantile lookup directly
+        cdf = np.asarray(device_sim._poisson_cdf(lam), np.float32)
+        got = np.sum(mids[:, None] > cdf[None, :], axis=1)
+        np.testing.assert_array_equal(got, want)
+        for impl in ("threefry2x32", "rbg"):
+            k = jax.random.key(3, impl=impl)
+            s = np.asarray(draw(k, (40000,)))
+            assert abs(s.mean() - lam) < 0.15 * np.sqrt(lam)
+            assert abs(s.var() - lam) < 0.2 * lam
