@@ -212,7 +212,9 @@ def main_device_loop(cfg, ns, agent=None, max_networks: int = 20):
                                    feature_mode=agent.feature_mode,
                                    with_baseline=True)
         q0 = jnp.zeros((b, nfp))
-        key = jax.random.PRNGKey(int(load * 1000))
+        # TPU-native rbg bit generator: the inverse-CDF arrival sampler is
+        # impl-agnostic, and threefry costs ~60 us/slot at production batch
+        key = jax.random.key(int(load * 1000), impl="rbg")
         _, metrics = run(agent.params, adj, mask, q0, key)
         rows = []
         for i, (seed, nf, _) in enumerate(nets):
