@@ -37,13 +37,14 @@ q0 = jnp.zeros((b, n))
 
 
 def time_run(run, label):
+    # rbg keys = the bench episode RNG (see device_sim.make_poisson_arrivals)
     np.asarray(run(agent.params, gb.adj, gb.mask, q0,
-                   jax.random.PRNGKey(0))[0])
+                   jax.random.key(0, impl="rbg"))[0])
     best = 1e9
     for i in range(3):
         t0 = time.perf_counter()
         np.asarray(run(agent.params, gb.adj, gb.mask, q0,
-                       jax.random.PRNGKey(i + 1))[0])
+                       jax.random.key(i + 1, impl="rbg"))[0])
         best = min(best, time.perf_counter() - t0)
     print(f"{label:8s}: {best*1000:8.1f} ms episode = "
           f"{best/T*1e6:7.1f} us/slot = {T*b/best:9.0f} graphs/s",
@@ -61,7 +62,9 @@ t_nogcn = time_run(make_closed_loop(agent.model, cfgb, timeslots=T,
 
 # glue-only scan: same traffic model + queue update, no solver
 def make_glue(timeslots, load=0.9, rate_lo=0.0, rate_hi=100.0):
+    from distgcn_tpu.sim.device_sim import make_poisson_arrivals
     arrival_rate = 0.5 * (rate_lo + rate_hi) * load
+    draw_arrivals = make_poisson_arrivals(arrival_rate)
     mean_r = 0.5 * (rate_lo + rate_hi)
     std_r = 0.25 * (rate_hi - rate_lo)
 
@@ -72,8 +75,8 @@ def make_glue(timeslots, load=0.9, rate_lo=0.0, rate_hi=100.0):
         def body(carry, _):
             queue, key = carry
             key, ka, kr = jax.random.split(key, 3)
-            arrivals = jax.random.poisson(
-                ka, arrival_rate, queue.shape).astype(queue.dtype) * m
+            arrivals = draw_arrivals(ka, queue.shape,
+                                     queue.dtype) * m
             rates = jax.random.normal(kr, queue.shape) * std_r + mean_r
             rates = jnp.clip(jnp.trunc(rates), rate_lo, rate_hi) * m
             # pretend everything with queue>0 drains (no solver)
