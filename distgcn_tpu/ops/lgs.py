@@ -79,9 +79,9 @@ def _round(adjb: jnp.ndarray, ranks: jnp.ndarray, sel: jnp.ndarray
     return sel
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds",))
+@functools.partial(jax.jit, static_argnames=("max_rounds", "unroll"))
 def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
-                max_rounds: Optional[int] = None
+                max_rounds: Optional[int] = None, unroll: int = 3
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run LGS to completion on a batch of padded graphs.
 
@@ -91,6 +91,12 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
       mask: [B, N] bool, True for real nodes.
       max_rounds: optional static round cap (`local_greedy_search_nstep`
         semantics, heuristics.py:266-305). None = run until no node remains.
+      unroll: rounds executed per `while_loop` iteration. The per-iteration
+        loop overhead is a third of the solve at [128, 256] (measured on
+        v5e: 232 -> 154 us/solve at unroll=3); each sub-round is gated on
+        ``r < cap and any remaining`` so selections AND the reported round
+        count are bit-identical to unroll=1 (a round on a finished batch
+        is the identity, and capped sub-rounds are masked out).
 
     Returns:
       sel    [B, N] int8 in {-1, 0, 1} (padding nodes -> 0)
@@ -109,7 +115,11 @@ def batched_lgs(adj: jnp.ndarray, wts: jnp.ndarray, mask: jnp.ndarray,
 
     def body(state):
         sel, r = state
-        return _round(adjb, ranks, sel), r + 1
+        for _ in range(unroll):
+            active = (r < cap) & jnp.any(sel == -1)
+            sel = jnp.where(active, _round(adjb, ranks, sel), sel)
+            r = r + active.astype(jnp.int32)
+        return sel, r
 
     sel, rounds = jax.lax.while_loop(cond, body, (sel0, jnp.int32(0)))
     util = jnp.sum(jnp.where(sel == 1, wts, 0.0), axis=-1)
