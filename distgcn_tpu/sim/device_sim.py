@@ -116,7 +116,13 @@ def make_slot_step(model, flags: Config, feature_mode: str = "gdpg",
         queue = queue + arrivals
         wts = slot_utilities(queue, rates, wt_sel) * mask
         if use_gcn:
+            # features follow the episode compute dtype (supports carry it):
+            # queues/utilities are f32, and an f32 operand under
+            # Precision.HIGHEST forces the multi-pass f32 MXU path — ~3x
+            # the bf16 forward (measured r5: 752 -> ~250 us/slot at
+            # [128, 256] x 20 layers)
             feats = _features_for(wts, mask, flags, feature_mode)
+            feats = feats.astype(supports.dtype)
             out = model.apply({"params": params}, feats, supports)
             act = out[..., 0].astype(wts.dtype) * mask
             gcn_wts = act * wts if flags.predict == "mwis" else act
