@@ -178,3 +178,25 @@ def test_device_lgs_negative_and_zero_weights(rng):
     sel, _, _ = batched_lgs(gb.adj, gb.wts, gb.mask)
     got = set(np.nonzero(np.asarray(sel)[0, :40] == 1)[0].tolist())
     assert got == want
+
+
+def test_device_lgs_unroll_invariant(rng):
+    """batched_lgs executes `unroll` gated rounds per while_loop iteration
+    (a perf lever); selections, utilities AND the reported round count
+    must be bit-identical across unroll values, for the full solve and
+    for every nstep cap (sub-rounds are masked on the cap and on the
+    remaining set)."""
+    graphs = [random_graph(rng, 50, p) for p in (0.05, 0.15, 0.3)]
+    wts = [rng.standard_normal(50) for _ in graphs]
+    wts[1][:20] = 0.5  # tie plateau: exercises the id tie-break path
+    gb = GraphBatch.from_scipy(graphs, wts, bucket=64)
+    for cap in (None, 1, 2, 3, 5):
+        ref = batched_lgs(gb.adj, gb.wts, gb.mask, max_rounds=cap, unroll=1)
+        for u in (2, 3, 4):
+            got = batched_lgs(gb.adj, gb.wts, gb.mask, max_rounds=cap,
+                              unroll=u)
+            assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0])), \
+                (cap, u)
+            np.testing.assert_allclose(np.asarray(got[1]),
+                                       np.asarray(ref[1]), rtol=1e-6)
+            assert int(got[2]) == int(ref[2]), (cap, u)
